@@ -1,0 +1,44 @@
+"""Simulation parameters.
+
+Defaults mirror the reference's tunables (raytracer.h:28-37): 1 m lamp rod
+0.8 m above the floor, 2^25 photons per iteration (2^26 hard cap in the
+reference UI — here a soft advisory, the TPU build has no 2^27 color-buffer
+corruption bug, Report §5.1), 10 iterations, 450 W lamp, 100 mJ/cm^2 minimum
+dose, 1500 µW/cm^2 minimum irradiance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class ViewMode(enum.Enum):
+    """raytracer.h: enum ViewMode { dosage, maxpower, texture }."""
+
+    DOSAGE = "dosage"
+    MAX_POWER = "maxpower"
+    TEXTURE = "texture"
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    light_length: float = 1.0  # m, rod length
+    light_height: float = 0.8  # m, rod base above the floor
+    photon_count: int = 1 << 25  # photons per iteration (all lamps together)
+    max_photon_count: int = 1 << 26  # advisory cap (reference UI clamp)
+    max_iterations: int = 10
+    light_intensity: float = 450.0  # W
+    min_dosage: float = 100.0  # mJ/cm^2 (legend/threshold midpoint)
+    min_power: float = 1500.0  # µW/cm^2
+
+    # Framework knobs (no reference equivalent):
+    sampler: str = "native"  # "native" (threefry) | "reference" (xorshift32)
+    accumulate_method: str = "sort"  # see ops/accumulate.py
+    traversal: str = "auto"  # "auto" | "jax" | "pallas"
+    seed: int = 0
+
+    def photons_per_light(self, num_lights: int) -> int:
+        """Per-lamp launch size: floor division rounded down to even
+        (raytracer.cpp:61-64)."""
+        return (self.photon_count // max(1, num_lights)) & ~1

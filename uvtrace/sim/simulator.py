@@ -1,0 +1,280 @@
+"""Simulation driver — the role of the reference's `RayTracer`
+(raytracer.cpp/raytracer.h): owns the device-resident scene, runs the
+wavefront pipeline over route waypoints and iterations, converts counts to
+physical units, calibrates lamp power, persists routes.
+
+TPU-native structure: one jitted function runs a full iteration
+(generate -> traverse -> histogram -> accumulate for every waypoint, chunked
+over the ray queue with `lax.scan` so HBM holds only one chunk of rays at a
+time). The iteration loop stays in Python for pausability — matching the
+reference's one-iteration-per-frame interactivity (myapp.cpp:156-175) and its
+"Resume computation" semantics (userinterface.cpp:339-344).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvtrace.bvh.builder import build_bvh
+from uvtrace.bvh.types import FlatBVH
+from uvtrace.geometry.mesh import TriangleMesh
+from uvtrace.io.routexml import LightPos, Route
+from uvtrace.ops import accumulate as acc_ops
+from uvtrace.ops import generate as gen_ops
+from uvtrace.ops import rng as rng_ops
+from uvtrace.ops import shade as shade_ops
+from uvtrace.ops import traverse as trav_ops
+from uvtrace.sim.params import SimParams, ViewMode
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "chunk", "sampler", "method", "extend_fn")
+)
+def launch_counts(scene, rng_in, lamp_xyz, light_length, *, n, chunk, sampler, method, extend_fn):
+    """Original-order int32[T] hit counts for one lamp launch of n photons.
+
+    The wavefront inner loop (ComputeSingleLightDosageMap, raytracer.cpp:75-88)
+    as one fused jit: generate -> traverse -> histogram, chunked with
+    `lax.scan` so HBM holds one ray chunk (not the reference's full 1 GiB ray
+    buffer, raytracer.cpp:137) and the traversal state stays bounded.
+
+    rng_in: PRNGKey (sampler='native') or uint32 SEED (sampler='reference').
+    lamp_xyz / light_length are traced so waypoint moves don't recompile.
+    """
+    t_count = scene.tri_idx.shape[0]
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+
+    def one_chunk(counts, i):
+        start = i * chunk
+        if sampler == "reference":
+            rays = gen_ops.generate_reference(
+                chunk, lamp_xyz, light_length, global_seed=rng_in, start=start
+            )
+        else:
+            key = jax.random.fold_in(rng_in, i)
+            rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
+        _, hit_sorted = extend_fn(scene, rays.orig, rays.dir)
+        # mask rays beyond n in the last (padded) chunk
+        valid = start + jnp.arange(chunk) < n
+        hit_sorted = jnp.where(valid, hit_sorted, -1)
+        return counts + acc_ops.hit_counts(hit_sorted, t_count, method), None
+
+    counts_sorted, _ = jax.lax.scan(
+        one_chunk, jnp.zeros((t_count,), jnp.int32), jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    # permute the sorted-space histogram back to original triangle order
+    return jnp.zeros_like(counts_sorted).at[scene.tri_idx].set(counts_sorted)
+
+
+def _extend_dispatch(traversal: str):
+    """Pick the traversal implementation. 'pallas' requires TPU."""
+    if traversal == "pallas" or (traversal == "auto" and jax.default_backend() not in ("cpu",)):
+        try:
+            from uvtrace.ops import traverse_pallas
+
+            return traverse_pallas.traverse
+        except ImportError:
+            pass
+    return trav_ops.traverse
+
+
+class Simulator:
+    def __init__(
+        self,
+        mesh: TriangleMesh,
+        params: SimParams = SimParams(),
+        route: Optional[list[LightPos]] = None,
+        bvh: Optional[FlatBVH] = None,
+        ray_chunk: int = 1 << 20,
+        max_leaf_size: Optional[int] = 8,
+    ):
+        self.mesh = mesh
+        self.params = params
+        self.route: list[LightPos] = route if route is not None else [LightPos(0.0, 0.0, 1.0)]
+        self.bvh = bvh if bvh is not None else build_bvh(mesh.tris, max_leaf_size=max_leaf_size)
+        self.scene = trav_ops.scene_arrays(self.bvh)
+        self.areas = jnp.asarray(mesh.areas)
+        self.ray_chunk = int(ray_chunk)
+        self._extend = functools.partial(
+            _extend_dispatch(params.traversal), max_leaf=self.bvh.max_leaf_size
+        )
+        self.reset()
+
+    # ---------------------------------------------------------------- state
+
+    @property
+    def triangle_count(self) -> int:
+        return self.mesh.triangle_count
+
+    def reset(self):
+        """ResetDosageMap (raytracer.cpp:122-131): zero accumulators, restart
+        the iteration counter and RNG."""
+        t = self.triangle_count
+        self.photon_map = jnp.zeros((t,), jnp.float32)
+        self.max_photon_map = jnp.zeros((t,), jnp.float32)
+        self.photon_map_size = 0
+        self.curr_iterations = 0
+        self.global_seed = np.uint32(0)  # reference-mode cross-launch SEED
+        self.key = jax.random.PRNGKey(self.params.seed)
+        self.finished = False
+
+    @property
+    def photons_per_light(self) -> int:
+        return self.params.photons_per_light(len(self.route))
+
+    # ------------------------------------------------------------- pipeline
+
+    def _single_light(self, lamp: LightPos, n: int):
+        """ComputeSingleLightDosageMap (raytracer.cpp:75-88)."""
+        lamp_xyz = jnp.array(
+            [lamp.x, self.mesh.floor_height + self.params.light_height, lamp.y],
+            jnp.float32,
+        )
+        if self.params.sampler == "reference":
+            rng_in = jnp.uint32(self.global_seed)
+        else:
+            self.key, rng_in = jax.random.split(self.key)
+        counts = launch_counts(
+            self.scene,
+            rng_in,
+            lamp_xyz,
+            jnp.float32(self.params.light_length),
+            n=n,
+            chunk=min(self.ray_chunk, n),
+            sampler=self.params.sampler,
+            method=self.params.accumulate_method,
+            extend_fn=self._extend,
+        )
+        self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
+            self.photon_map, self.max_photon_map, counts, lamp.duration
+        )
+        if self.params.sampler == "reference":
+            self.global_seed = np.uint32(rng_ops.advance_global_seed(lamp_xyz, rng_in))
+        self.photon_map_size += n
+        return counts
+
+    def run_iteration(self):
+        """One full iteration over all route waypoints
+        (RayTracer::ComputeDosageMap, raytracer.cpp:66-72)."""
+        n = self.photons_per_light
+        for lamp in self.route:
+            self._single_light(lamp, n)
+        self.curr_iterations += 1
+        if self.curr_iterations >= self.params.max_iterations:
+            self.finished = True
+
+    def compute(self, progress_callback=None):
+        """Run to max_iterations (the reference drives this one iteration per
+        frame, myapp.cpp:156-175)."""
+        while not self.finished:
+            self.run_iteration()
+            if progress_callback:
+                progress_callback(self.curr_iterations / self.params.max_iterations)
+        return self.dosage_map(ViewMode.DOSAGE)
+
+    def resume(self, extra_iterations: Optional[int] = None):
+        """'Resume computation' (userinterface.cpp:339-344): continue
+        accumulating on top of the existing maps."""
+        if extra_iterations is not None:
+            import dataclasses
+
+            self.params = dataclasses.replace(
+                self.params, max_iterations=self.params.max_iterations + extra_iterations
+            )
+        self.finished = False
+        self.compute()
+
+    # ----------------------------------------------------------------- shade
+
+    def dosage_map(self, view: ViewMode = ViewMode.DOSAGE) -> jax.Array:
+        """Physical units per RayTracer::Shade (raytracer.cpp:93-120):
+        DOSAGE: cumulative dose in mJ/cm^2 (scaled_power = I*0.1);
+        MAX_POWER: peak irradiance in µW/cm^2 (scaled_power = I*100)."""
+        if view == ViewMode.MAX_POWER:
+            src = self.max_photon_map
+            n = self.photons_per_light
+            scaled_power = self.params.light_intensity * 100.0
+        else:
+            src = self.photon_map
+            n = max(1, self.photon_map_size // max(1, len(self.route)))
+            scaled_power = self.params.light_intensity * 0.1
+        return shade_ops.compute_dosage(src, self.areas, n, scaled_power)
+
+    def colors(self, view: ViewMode = ViewMode.DOSAGE, threshold_view: bool = False):
+        dose = self.dosage_map(view)
+        scale = self.params.min_power if view == ViewMode.MAX_POWER else self.params.min_dosage
+        return shade_ops.dosage_to_color(dose, scale, threshold_view)
+
+    # ------------------------------------------------------------ calibrate
+
+    def calibrate_power(
+        self, measure_power: float, measure_height: float, measure_dist: float
+    ) -> float:
+        """Linear power calibration against a physical UV-meter reading
+        (raytracer.cpp:151-227, Report §2.2).
+
+        Swaps in a synthetic 0.2x0.2 m square at the measured height/distance,
+        runs max_iterations full-count launches from a lamp at the origin,
+        reads the simulated irradiance with power=1, and rescales:
+        calibrated = 0.01 * measured / simulated. Updates light_intensity.
+        """
+        import dataclasses
+
+        from uvtrace.geometry.procedural import make_single_square
+
+        square = make_single_square(
+            center=(0.0, self.mesh.floor_height + measure_height, measure_dist),
+            half_width=0.1,
+            axis="z",
+        )
+        cal = Simulator(
+            square,
+            dataclasses.replace(self.params),
+            route=[LightPos(0.0, 0.0, 1.0)],
+            ray_chunk=self.ray_chunk,
+        )
+        # floor height of the synthetic square is 0 by construction; the lamp
+        # must sit at the *real* room's floor + light_height like the
+        # reference (it keeps mesh->floorHeight, raytracer.cpp:77)
+        cal.mesh.floor_height = self.mesh.floor_height
+        for _ in range(self.params.max_iterations):
+            cal._single_light(cal.route[0], self.params.photon_count)
+        sim_dose = shade_ops.compute_dosage(
+            cal.max_photon_map, cal.areas, self.params.photon_count, 1.0
+        )
+        avg = float(jnp.mean(sim_dose))
+        calibrated = 0.01 * measure_power / avg
+        self.params = dataclasses.replace(self.params, light_intensity=calibrated)
+        return calibrated
+
+    # ----------------------------------------------------------------- io
+
+    def save_route(self, path):
+        from uvtrace.io.routexml import save_route_xml
+
+        save_route_xml(
+            path,
+            Route(
+                waypoints=list(self.route),
+                photon_count=self.params.photon_count,
+                max_iterations=self.params.max_iterations,
+                light_intensity=self.params.light_intensity,
+                min_dosage=self.params.min_dosage,
+                min_power=self.params.min_power,
+                light_length=self.params.light_length,
+                light_height=self.params.light_height,
+            ),
+        )
+
+    def load_route(self, path):
+        from uvtrace.io.routexml import load_route_xml
+
+        r = load_route_xml(path)
+        self.params = r.apply_to(self.params)
+        if r.waypoints:
+            self.route = r.waypoints
