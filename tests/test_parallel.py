@@ -1,0 +1,75 @@
+"""Sharded execution on the 8-virtual-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvtrace.geometry.procedural import make_box_room
+from uvtrace.ops.cluster import build_clusters
+from uvtrace.ops.traverse_clustered import cluster_arrays
+from uvtrace.parallel import make_ray_mesh, sharded_launch_counts, sharded_sim_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    room = make_box_room(subdivisions=4, clutter=2, seed=3)
+    cs = build_clusters(room.tris, cluster_size=128)
+    return room, cluster_arrays(cs)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_counts_conservation(setup):
+    room, scene = setup
+    mesh = make_ray_mesh()
+    lamp = jnp.array([0.0, room.floor_height + 0.8, 0.0], jnp.float32)
+    counts = sharded_launch_counts(
+        mesh, scene, jax.random.PRNGKey(0), lamp, 1.0,
+        n_per_device=1024, t_count=room.triangle_count,
+    )
+    counts = np.asarray(counts)
+    total = 8 * 1024
+    assert 0 < counts.sum() <= total
+    # closed room interior: nearly all photons hit
+    assert counts.sum() > 0.95 * total
+
+
+def test_sharded_matches_unsharded_distribution(setup):
+    room, scene = setup
+    lamp = jnp.array([0.0, room.floor_height + 0.8, 0.0], jnp.float32)
+    mesh8 = make_ray_mesh(8)
+    mesh1 = make_ray_mesh(1)
+    c8 = np.asarray(sharded_launch_counts(
+        mesh8, scene, jax.random.PRNGKey(1), lamp, 1.0,
+        n_per_device=1024, t_count=room.triangle_count))
+    c1 = np.asarray(sharded_launch_counts(
+        mesh1, scene, jax.random.PRNGKey(1), lamp, 1.0,
+        n_per_device=8192, t_count=room.triangle_count))
+    assert c8.sum() == pytest.approx(c1.sum(), rel=0.02)
+    big = c1 > 50
+    rel = np.abs(c8[big] - c1[big]) / np.maximum(c1[big], 1)
+    assert np.quantile(rel, 0.9) < 0.5
+
+
+def test_sharded_sim_step_accumulates(setup):
+    room, scene = setup
+    mesh = make_ray_mesh()
+    t = room.triangle_count
+    lamp = jnp.array([0.0, room.floor_height + 0.8, 0.0], jnp.float32)
+    pm = jnp.zeros((t,))
+    mx = jnp.zeros((t,))
+    pm, mx = sharded_sim_step(
+        mesh, scene, pm, mx, jax.random.PRNGKey(0), lamp,
+        jnp.float32(60.0), 1.0, n_per_device=1024, t_count=t,
+    )
+    pm2, mx2 = sharded_sim_step(
+        mesh, scene, pm, mx, jax.random.PRNGKey(1), lamp,
+        jnp.float32(30.0), 1.0, n_per_device=1024, t_count=t,
+    )
+    assert float(jnp.sum(pm2)) > float(jnp.sum(pm)) > 0
+    assert (np.asarray(mx2) >= np.asarray(mx)).all()

@@ -1,0 +1,172 @@
+"""End-to-end Simulator tests: oracle agreement, units, calibration,
+route IO, resume — the golden-pipeline layer of SURVEY.md §4."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvtrace.geometry.procedural import make_box_room, make_single_square
+from uvtrace.io.routexml import LightPos, Route, load_route_xml, save_route_xml
+from uvtrace.ops.generate import generate_native
+from uvtrace.ops.intersect import brute_force_closest_hit
+from uvtrace.sim import SimParams, Simulator, ViewMode
+
+PARAMS = SimParams(photon_count=1 << 15, max_iterations=2, seed=42)
+
+
+@pytest.fixture(scope="module")
+def room():
+    return make_box_room(subdivisions=4, clutter=2, seed=7, floor_y=-1.0)
+
+
+def oracle_counts(mesh, lamp_xyz, n, key, light_length=1.0):
+    """Brute-force dose counts: generate -> all-tris closest hit -> bincount."""
+    rays = generate_native(key, n, lamp_xyz, light_length)
+    _, hit = brute_force_closest_hit(rays.orig, rays.dir, jnp.asarray(mesh.tris))
+    hit = np.asarray(hit)
+    return np.bincount(hit[hit >= 0], minlength=mesh.triangle_count)
+
+
+def test_simulator_matches_oracle_statistically(room):
+    """Same sampler family, independent streams: per-triangle counts must
+    agree within Poisson error."""
+    sim = Simulator(room, dataclasses.replace(PARAMS, photon_count=1 << 16, max_iterations=1),
+                    route=[LightPos(0.0, 0.0, 1.0)])
+    sim.compute()
+    counts = np.asarray(sim.photon_map)  # duration 1 -> counts
+    lamp = (0.0, room.floor_height + PARAMS.light_height, 0.0)
+    want = oracle_counts(room, lamp, 1 << 16, jax.random.PRNGKey(7))
+    assert counts.sum() > 0
+    # totals agree to ~1% (hit fraction is the same geometry)
+    assert abs(counts.sum() - want.sum()) / want.sum() < 0.02
+    # per-triangle: compare smoothed distributions (Poisson noise ~ sqrt(n))
+    big = want > 50
+    rel = np.abs(counts[big] - want[big]) / np.maximum(want[big], 1)
+    assert np.quantile(rel, 0.9) < 0.5
+
+
+def test_exact_match_same_stream(room):
+    """jax-backend Simulator vs direct launch with the same key must agree
+    exactly (determinism — SURVEY.md §5 'determinism is a test asset')."""
+    p = dataclasses.replace(PARAMS, max_iterations=1, traversal="clustered")
+    sim1 = Simulator(room, p, route=[LightPos(0.2, -0.1, 1.0)])
+    sim2 = Simulator(room, p, route=[LightPos(0.2, -0.1, 1.0)])
+    sim1.compute()
+    sim2.compute()
+    np.testing.assert_array_equal(np.asarray(sim1.photon_map), np.asarray(sim2.photon_map))
+
+
+def test_backends_agree(room):
+    """clustered vs jax traversal backends: same rays => same counts."""
+    p = dataclasses.replace(PARAMS, max_iterations=1)
+    sims = {
+        b: Simulator(room, dataclasses.replace(p, traversal=b), route=[LightPos(0, 0, 1.0)])
+        for b in ["clustered", "jax"]
+    }
+    for s in sims.values():
+        s.compute()
+    a = np.asarray(sims["clustered"].photon_map)
+    b = np.asarray(sims["jax"].photon_map)
+    # identical RNG stream + exact traversals -> counts differ only on
+    # shared-edge ties
+    assert np.abs(a - b).sum() / a.sum() < 0.01
+
+
+def test_units_dosage_vs_power(room):
+    sim = Simulator(room, PARAMS, route=[LightPos(0, 0, 60.0)])
+    sim.compute()
+    dose = np.asarray(sim.dosage_map(ViewMode.DOSAGE))
+    power = np.asarray(sim.dosage_map(ViewMode.MAX_POWER))
+    assert (dose >= 0).all() and (power >= 0).all()
+    # cumulative dose [mJ/cm^2] = irradiance [uW/cm^2] * time / 1000, up to
+    # max-vs-mean differences; just sanity-check scale coupling
+    assert dose.max() > 0 and power.max() > 0
+
+
+def test_multi_waypoint_accumulates(room):
+    route = [LightPos(-0.5, 0, 30.0), LightPos(0.5, 0, 30.0)]
+    sim = Simulator(room, PARAMS, route=route)
+    sim.run_iteration()
+    assert sim.photon_map_size == 2 * sim.photons_per_light
+    assert float(jnp.sum(sim.photon_map)) > 0
+
+
+def test_resume(room):
+    sim = Simulator(room, PARAMS, route=[LightPos(0, 0, 1.0)])
+    sim.compute()
+    assert sim.finished
+    before = sim.photon_map_size
+    sim.resume(extra_iterations=1)
+    assert sim.photon_map_size > before
+    assert sim.curr_iterations == 3
+
+
+def test_calibration_linear_scaling(room):
+    """calibrated power doubles when measured power doubles
+    (raytracer.cpp:208-210 is a linear rule)."""
+    p = dataclasses.replace(PARAMS, photon_count=1 << 14, max_iterations=2)
+    sim = Simulator(room, p)
+    c1 = sim.calibrate_power(1000.0, 0.8, 1.0)
+    sim2 = Simulator(room, p)
+    c2 = sim2.calibrate_power(2000.0, 0.8, 1.0)
+    np.testing.assert_allclose(c2 / c1, 2.0, rtol=0.15)
+    assert sim.params.light_intensity == c1
+
+
+def test_route_xml_roundtrip(tmp_path):
+    r = Route(
+        waypoints=[LightPos(1.5, -2.25, 45.0), LightPos(0.0, 3.0, 60.0)],
+        photon_count=1 << 20,
+        max_iterations=5,
+        light_intensity=443.3,
+        min_dosage=300.0,
+        min_power=1500.0,
+        light_length=1.0,
+        light_height=0.6,
+    )
+    path = tmp_path / "route.xml"
+    save_route_xml(path, r)
+    r2 = load_route_xml(path)
+    assert r2.photon_count == r.photon_count
+    assert r2.max_iterations == r.max_iterations
+    np.testing.assert_allclose(r2.light_intensity, r.light_intensity, rtol=1e-6)
+    assert len(r2.waypoints) == 2
+    np.testing.assert_allclose(r2.waypoints[0].x, 1.5)
+    np.testing.assert_allclose(r2.waypoints[1].duration, 60.0)
+
+
+def test_reference_route_xml_loads():
+    """The reference's shipped route files parse with all parameters
+    (positions/route.xml schema, raytracer.cpp:261-300)."""
+    import os
+
+    r = load_route_xml(os.path.join(os.path.dirname(__file__), "..", "assets", "route.xml"))
+    assert r.photon_count == 33554432
+    assert r.max_iterations == 10
+    assert len(r.waypoints) == 12
+    assert all(w.duration == 60.0 for w in r.waypoints)
+    np.testing.assert_allclose(r.light_height, 0.6, rtol=1e-5)
+
+
+def test_simparams_photons_per_light():
+    p = SimParams(photon_count=100)
+    assert p.photons_per_light(3) == 32  # floor(100/3)=33 -> rounded to even
+
+
+def test_inverse_square_falloff():
+    """Physics sanity: irradiance on a small target ~ 1/r^2 (the basis of the
+    reference's calibration, Report §2.2)."""
+    doses = []
+    for dist in [1.0, 2.0]:
+        sq = make_single_square(center=(0.0, 0.5, dist), half_width=0.05)
+        p = SimParams(photon_count=1 << 18, max_iterations=1, light_length=0.01)
+        sim = Simulator(sq, p, route=[LightPos(0.0, 0.0, 1.0)])
+        # place lamp rod ~ at square height for near-normal incidence
+        sim.mesh.floor_height = 0.5 - p.light_height
+        sim.compute()
+        doses.append(float(np.asarray(sim.dosage_map(ViewMode.MAX_POWER)).mean()))
+    ratio = doses[0] / doses[1]
+    assert 3.0 < ratio < 5.5, ratio

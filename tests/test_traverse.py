@@ -11,19 +11,14 @@ from uvtrace.ops.intersect import BIG, brute_force_closest_hit, intersect_tri
 from uvtrace.ops.traverse import scene_arrays, traverse
 
 
-def assert_matches_brute_force(bvh, tris, orig, direction):
-    scene = scene_arrays(bvh)
-    t_bvh, hit_sorted = traverse(scene, orig, direction, max_leaf=bvh.max_leaf_size)
-    t_ref, id_ref = brute_force_closest_hit(orig, direction, jnp.asarray(tris))
+def assert_hits_match(t_bvh, hit_orig, tris, orig, direction, t_ref, id_ref):
     t_bvh, t_ref = np.asarray(t_bvh), np.asarray(t_ref)
-    hit_sorted, id_ref = np.asarray(hit_sorted), np.asarray(id_ref)
+    hit_orig, id_ref = np.asarray(hit_orig), np.asarray(id_ref)
     # distances must agree everywhere (ties resolve to equal t)
     np.testing.assert_allclose(t_bvh, t_ref, rtol=1e-5)
     # ids: either identical, or a genuine tie (the reported triangle achieves
     # the same closest distance) — shared-edge hits legitimately resolve to
     # different triangles depending on visit order
-    tri_idx = np.asarray(bvh.tri_idx)
-    hit_orig = np.where(hit_sorted >= 0, tri_idx[np.maximum(hit_sorted, 0)], -1)
     np.testing.assert_array_equal(hit_orig < 0, id_ref < 0)  # miss <=> miss
     differ = (hit_orig != id_ref) & (hit_orig >= 0)
     if differ.any():
@@ -39,6 +34,13 @@ def assert_matches_brute_force(bvh, tris, orig, direction):
             )
         )
         np.testing.assert_allclose(t_check, t_ref[sel], rtol=1e-5)
+
+
+def assert_matches_brute_force(bvh, tris, orig, direction):
+    scene = scene_arrays(bvh)
+    t_bvh, hit_orig = traverse(scene, orig, direction, max_leaf=bvh.max_leaf_size)
+    t_ref, id_ref = brute_force_closest_hit(orig, direction, jnp.asarray(tris))
+    assert_hits_match(t_bvh, hit_orig, tris, orig, direction, t_ref, id_ref)
 
 
 def test_intersect_tri_basic():

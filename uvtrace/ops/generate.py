@@ -118,3 +118,54 @@ def generate_native(key: jax.Array, n: int, light_pos, light_length) -> RayBatch
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - dir_y * dir_y))
     direction = jnp.stack([r * jnp.cos(phi), dir_y, r * jnp.sin(phi)], axis=-1)
     return RayBatch(orig=orig, dir=direction)
+
+
+def _stratum_grid(g: int) -> tuple[int, int]:
+    """Factor g packets into a (cos-theta bands) x (azimuth sectors) grid,
+    as square as possible."""
+    gy = max(1, int(np.sqrt(g)))
+    while g % gy:
+        gy -= 1
+    return gy, g // gy
+
+
+def generate_stratified(key: jax.Array, n: int, light_pos, light_length,
+                        packet: int = 1024) -> RayBatch:
+    """Packet-stratified sphere sampler — the TPU-coherent fast path.
+
+    The unit sphere (in Lambert cylindrical coordinates: cos-theta = dir_y,
+    azimuth phi — an equal-area parameterization) is divided into n/packet
+    equal-solid-angle cells; every ray packet samples uniformly *within one
+    cell*, so all rays of a packet form a tight direction cone. Marginally
+    each photon is still uniform over the sphere and the dose estimator stays
+    unbiased — variance strictly decreases (stratification), and packet
+    coherence is what keeps the clustered traversal's per-packet cluster
+    budget small (ops/traverse_clustered.py).
+
+    The reference has no analogue — its photons are i.i.d. uniform
+    (cl/generate.cl:20-33); this is a deliberate TPU-first redesign.
+
+    n must be a multiple of `packet`.
+    """
+    assert n % packet == 0, (n, packet)
+    g = n // packet
+    gy, gphi = _stratum_grid(g)
+    ku, ky, kp = jax.random.split(key, 3)
+    lp = jnp.asarray(light_pos, jnp.float32)
+    lx, ly, lz = lp[0], lp[1], lp[2]
+
+    u_height = jax.random.uniform(ku, (n,), dtype=jnp.float32)
+    orig = jnp.stack(
+        [jnp.full((n,), lx), ly + u_height * jnp.float32(light_length), jnp.full((n,), lz)],
+        axis=-1,
+    )
+    cell = jnp.arange(n, dtype=jnp.int32) // packet
+    iy = (cell // gphi).astype(jnp.float32)
+    ip = (cell % gphi).astype(jnp.float32)
+    uy = jax.random.uniform(ky, (n,), dtype=jnp.float32)
+    up = jax.random.uniform(kp, (n,), dtype=jnp.float32)
+    dir_y = -1.0 + 2.0 * (iy + uy) / gy
+    phi = (2.0 * np.pi) * (ip + up) / gphi
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - dir_y * dir_y))
+    direction = jnp.stack([r * jnp.cos(phi), dir_y, r * jnp.sin(phi)], axis=-1)
+    return RayBatch(orig=orig, dir=direction)

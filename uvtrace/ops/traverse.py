@@ -76,7 +76,8 @@ def traverse(scene: SceneArrays, orig, direction, *, max_leaf: int = 8):
         builder must respect the same bound).
 
     Returns:
-      (t, hit_sorted_id): float32[R], int32[R]; miss => (1e30, -1).
+      (t, hit_id): float32[R], int32[R] *original* triangle ids;
+      miss => (1e30, -1).
     """
     r = orig.shape[0]
     inv_dir = safe_inv_dir(direction)
@@ -146,4 +147,5 @@ def traverse(scene: SceneArrays, orig, direction, *, max_leaf: int = 8):
         done=jnp.zeros((r,), bool),
     )
     out = jax.lax.while_loop(lambda s: jnp.any(~s.done), step, init)
-    return out.t, out.hit
+    hit_orig = jnp.where(out.hit >= 0, scene.tri_idx[jnp.maximum(out.hit, 0)], -1)
+    return out.t, hit_orig

@@ -1,0 +1,124 @@
+"""Multi-chip execution: ray-axis sharding over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY.md §2 'Distributed communication backend:
+none'); this module is the TPU-native scale-out design:
+
+- the photon batch is embarrassingly parallel -> shard the `rays` axis;
+- the scene (clusters + BVH, a few MB) is replicated on every chip;
+- each chip histograms its own hits locally, and the per-triangle count
+  partials are summed with one `psum` over ICI — the collective replaces the
+  reference's atomic_inc global-memory contention (cl/extend.cl:95-98);
+- dose accumulators stay replicated (they are T-sized, tiny next to rays).
+
+Per-shard RNG: every device folds its mesh position into the launch key, so
+the union of shards is the same photon population regardless of device count
+(statistically; bit-identical for a fixed mesh shape).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uvtrace.ops import accumulate as acc_ops
+from uvtrace.ops import generate as gen_ops
+from uvtrace.ops.traverse_clustered import ClusterArrays, traverse_clustered
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D device mesh over the `rays` axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (RAY_AXIS,), devices=devices)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_per_device", "t_count", "sampler", "method", "max_clusters"),
+)
+def sharded_launch_counts(
+    mesh: Mesh,
+    scene: ClusterArrays,
+    key,
+    lamp_xyz,
+    light_length,
+    *,
+    n_per_device: int,
+    t_count: int,
+    sampler: str = "stratified",
+    method: str = "sort",
+    max_clusters: int = 32,
+):
+    """Replicated int32[t_count] hit counts for n_per_device x |mesh| photons.
+
+    One generate->traverse->histogram->psum step, shard_mapped over the ray
+    axis. The scene rides in replicated; XLA keeps it resident per chip.
+    """
+
+    def shard_fn(scene, key, lamp_xyz, light_length):
+        dev = jax.lax.axis_index(RAY_AXIS)
+        k = jax.random.fold_in(key, dev)
+        if sampler == "stratified":
+            rays = gen_ops.generate_stratified(
+                k, n_per_device, lamp_xyz, light_length, packet=min(1024, n_per_device)
+            )
+        else:
+            rays = gen_ops.generate_native(k, n_per_device, lamp_xyz, light_length)
+        _, hit = traverse_clustered(scene, rays.orig, rays.dir, max_clusters=max_clusters)
+        counts = acc_ops.hit_counts(hit, t_count, method)
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    fn = jax.shard_map(
+        lambda s, k, l, ll: shard_fn(s, k, l, ll),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+    )
+    return fn(scene, key, lamp_xyz, jnp.float32(light_length))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_per_device", "t_count", "sampler", "method", "max_clusters"),
+)
+def sharded_sim_step(
+    mesh: Mesh,
+    scene: ClusterArrays,
+    photon_map,
+    max_photon_map,
+    key,
+    lamp_xyz,
+    duration,
+    light_length,
+    *,
+    n_per_device: int,
+    t_count: int,
+    sampler: str = "stratified",
+    method: str = "sort",
+    max_clusters: int = 32,
+):
+    """One full waypoint step: counts (sharded) + dose accumulation
+    (ComputeSingleLightDosageMap + accumulate, raytracer.cpp:75-88 +
+    cl/accumulate.cl). Returns (photon_map, max_photon_map)."""
+    counts = sharded_launch_counts(
+        mesh,
+        scene,
+        key,
+        lamp_xyz,
+        light_length,
+        n_per_device=n_per_device,
+        t_count=t_count,
+        sampler=sampler,
+        method=method,
+        max_clusters=max_clusters,
+    )
+    return acc_ops.accumulate_dose(photon_map, max_photon_map, counts, duration)

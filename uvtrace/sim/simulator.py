@@ -33,20 +33,22 @@ from uvtrace.sim.params import SimParams, ViewMode
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "chunk", "sampler", "method", "extend_fn")
+    jax.jit, static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn")
 )
-def launch_counts(scene, rng_in, lamp_xyz, light_length, *, n, chunk, sampler, method, extend_fn):
-    """Original-order int32[T] hit counts for one lamp launch of n photons.
+def launch_counts(
+    scene, rng_in, lamp_xyz, light_length, *, t_count, n, chunk, sampler, method, extend_fn
+):
+    """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
     The wavefront inner loop (ComputeSingleLightDosageMap, raytracer.cpp:75-88)
     as one fused jit: generate -> traverse -> histogram, chunked with
     `lax.scan` so HBM holds one ray chunk (not the reference's full 1 GiB ray
     buffer, raytracer.cpp:137) and the traversal state stays bounded.
 
-    rng_in: PRNGKey (sampler='native') or uint32 SEED (sampler='reference').
+    rng_in: PRNGKey (uint32 SEED for sampler='reference').
     lamp_xyz / light_length are traced so waypoint moves don't recompile.
+    extend_fn(scene, orig, dir) -> (t, hit_original_ids).
     """
-    t_count = scene.tri_idx.shape[0]
     n_chunks = max(1, (n + chunk - 1) // chunk)
 
     def one_chunk(counts, i):
@@ -55,35 +57,42 @@ def launch_counts(scene, rng_in, lamp_xyz, light_length, *, n, chunk, sampler, m
             rays = gen_ops.generate_reference(
                 chunk, lamp_xyz, light_length, global_seed=rng_in, start=start
             )
+        elif sampler == "stratified":
+            key = jax.random.fold_in(rng_in, i)
+            rays = gen_ops.generate_stratified(
+                key, chunk, lamp_xyz, light_length, packet=min(1024, chunk)
+            )
         else:
             key = jax.random.fold_in(rng_in, i)
             rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
-        _, hit_sorted = extend_fn(scene, rays.orig, rays.dir)
+        _, hit_ids = extend_fn(scene, rays.orig, rays.dir)
         # mask rays beyond n in the last (padded) chunk
         valid = start + jnp.arange(chunk) < n
-        hit_sorted = jnp.where(valid, hit_sorted, -1)
-        return counts + acc_ops.hit_counts(hit_sorted, t_count, method), None
+        hit_ids = jnp.where(valid, hit_ids, -1)
+        return counts + acc_ops.hit_counts(hit_ids, t_count, method), None
 
-    counts_sorted, _ = jax.lax.scan(
+    counts, _ = jax.lax.scan(
         one_chunk, jnp.zeros((t_count,), jnp.int32), jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    # permute the sorted-space histogram back to original triangle order
-    return jnp.zeros_like(counts_sorted).at[scene.tri_idx].set(counts_sorted)
+    return counts
 
 
-def _extend_dispatch(traversal: str):
-    """Pick the traversal implementation. 'pallas' requires TPU."""
-    if traversal == "pallas" or (traversal == "auto" and jax.default_backend() not in ("cpu",)):
-        try:
-            from uvtrace.ops import traverse_pallas
-
-            return traverse_pallas.traverse
-        except ImportError:
-            pass
-    return trav_ops.traverse
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
 
 
 class Simulator:
+    """Owns the device-resident scene + dose state and drives the pipeline.
+
+    Traversal backends (params.traversal):
+      - "clustered" (default, CPU+TPU): two-phase packet culling
+        (ops/traverse_clustered.py) over SAH clusters;
+      - "jax": per-ray masked BVH walk over the fine SAH tree (oracle-grade,
+        slow) — also what `bvh=` forces;
+      - "pallas": hand-written TPU kernel (falls back to clustered if
+        unavailable).
+    """
+
     def __init__(
         self,
         mesh: TriangleMesh,
@@ -92,17 +101,42 @@ class Simulator:
         bvh: Optional[FlatBVH] = None,
         ray_chunk: int = 1 << 20,
         max_leaf_size: Optional[int] = 8,
+        cluster_size: int = 128,
+        max_clusters: int = 32,
     ):
         self.mesh = mesh
         self.params = params
         self.route: list[LightPos] = route if route is not None else [LightPos(0.0, 0.0, 1.0)]
-        self.bvh = bvh if bvh is not None else build_bvh(mesh.tris, max_leaf_size=max_leaf_size)
-        self.scene = trav_ops.scene_arrays(self.bvh)
         self.areas = jnp.asarray(mesh.areas)
         self.ray_chunk = int(ray_chunk)
-        self._extend = functools.partial(
-            _extend_dispatch(params.traversal), max_leaf=self.bvh.max_leaf_size
-        )
+
+        backend = params.traversal
+        if backend == "auto":
+            backend = "clustered"
+        if bvh is not None:
+            backend = "jax"
+        self.backend = backend
+        if backend == "jax":
+            self.bvh = bvh if bvh is not None else build_bvh(mesh.tris, max_leaf_size=max_leaf_size)
+            self.scene = trav_ops.scene_arrays(self.bvh)
+            self._extend = functools.partial(
+                trav_ops.traverse, max_leaf=self.bvh.max_leaf_size
+            )
+        else:
+            from uvtrace.ops.cluster import build_clusters
+            from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
+
+            self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
+            if backend == "pallas":
+                from uvtrace.ops.traverse_pallas import build_pallas_scene, traverse_pallas
+
+                self.scene = build_pallas_scene(self.clusters)
+                self._extend = traverse_pallas
+                # the pallas kernel consumes whole 1024-ray packets
+                self.ray_chunk = max(1024, self.ray_chunk)
+            else:
+                self.scene = cluster_arrays(self.clusters)
+                self._extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
         self.reset()
 
     # ---------------------------------------------------------------- state
@@ -144,8 +178,12 @@ class Simulator:
             rng_in,
             lamp_xyz,
             jnp.float32(self.params.light_length),
+            t_count=self.triangle_count,
             n=n,
-            chunk=min(self.ray_chunk, n),
+            chunk=max(
+                1024 if self.backend == "pallas" else 1,
+                min(self.ray_chunk, _next_pow2(n)),
+            ),
             sampler=self.params.sampler,
             method=self.params.accumulate_method,
             extend_fn=self._extend,
