@@ -66,7 +66,7 @@ class _State(NamedTuple):
     done: jax.Array  # bool[R]
 
 
-def traverse(scene: SceneArrays, orig, direction, *, max_leaf: int = 8):
+def traverse(scene: SceneArrays, orig, direction, *, max_leaf: int = 8, **_):
     """Batched closest-hit traversal.
 
     Args:

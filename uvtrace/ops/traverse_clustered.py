@@ -99,6 +99,7 @@ def traverse_clustered(
     max_clusters: int = 32,
     group: int = 16,
     return_overflow: bool = False,
+    **_,
 ):
     """Batched closest-hit traversal over a clustered scene.
 

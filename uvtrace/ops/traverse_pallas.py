@@ -54,6 +54,8 @@ class PallasScene(NamedTuple):
     # (flat 1D because 2D SMEM windows pad the minor dim to 128 elements)
     tri: jax.Array  # f32[L, TRI_ROWS, 128] lane-major cluster tiles (VMEM)
     tri_idx_flat: jax.Array  # i32[L*128] padded slot -> original tri id (-1 pad)
+    box_min: jax.Array  # f32[L,3] cluster AABBs (for wedge candidate culling)
+    box_max: jax.Array  # f32[L,3]
 
 
 def build_pallas_scene(cs: ClusteredScene) -> PallasScene:
@@ -91,7 +93,61 @@ def build_pallas_scene(cs: ClusteredScene) -> PallasScene:
         node_meta=jnp.asarray(node_meta.reshape(-1)),
         tri=jnp.asarray(tri),
         tri_idx_flat=jnp.asarray(cs.tri_idx.reshape(-1)),
+        box_min=jnp.asarray(cs.box_min),
+        box_max=jnp.asarray(cs.box_max),
     )
+
+
+def _mt_columns(o, d, tile, cid, t_out, slot_out):
+    """Intersect a 1024-ray packet against one cluster tile (16,128) and merge
+    into the packet state refs t_out/slot_out (block (1,8,128)).
+
+    Static unroll over the 128 ray columns: TPU vector memory cannot index
+    single lanes dynamically, but static lane slices are fine. Each step runs
+    Möller–Trumbore (reference semantics, cl/extend.cl:6-27) on an
+    (8 rays x 128 triangles) tile — ray components are (8,1) columns,
+    triangle components (1,128) rows; both broadcast natively on the VPU.
+    """
+    v0x, v0y, v0z = tile[0:1], tile[1:2], tile[2:3]
+    e1x, e1y, e1z = tile[3:4], tile[4:5], tile[5:6]
+    e2x, e2y, e2z = tile[6:7], tile[7:8], tile[8:9]
+    for g in range(128):
+        cox = o[0][:, g : g + 1]
+        coy = o[1][:, g : g + 1]
+        coz = o[2][:, g : g + 1]
+        cdx = d[0][:, g : g + 1]
+        cdy = d[1][:, g : g + 1]
+        cdz = d[2][:, g : g + 1]
+        hx = cdy * e2z - cdz * e2y
+        hy = cdz * e2x - cdx * e2z
+        hz = cdx * e2y - cdy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / jnp.where(a == 0.0, jnp.float32(1.0), a)
+        sx = cox - v0x
+        sy = coy - v0y
+        sz = coz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (cdx * qx + cdy * qy + cdz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        valid = (
+            (jnp.abs(a) >= 1e-5)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 1e-4)
+        )
+        t = jnp.where(valid, t, BIG)
+        col_t = jnp.min(t, axis=1, keepdims=True)  # (8,1)
+        col_arg = jnp.argmin(t, axis=1).reshape(8, 1).astype(jnp.int32)
+        cur_t = t_out[0, :, g : g + 1]
+        cur_s = slot_out[0, :, g : g + 1]
+        better = col_t < cur_t
+        t_out[0, :, g : g + 1] = jnp.where(better, col_t, cur_t)
+        slot_out[0, :, g : g + 1] = jnp.where(better, cid * 128 + col_arg, cur_s)
 
 
 def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_out, stack):
@@ -113,57 +169,7 @@ def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_ou
         return tmin, (tmax >= tmin) & (tmax > 0)
 
     def intersect_cluster(cid):
-        tile = tri_ref[cid]  # (16,128)
-        v0x, v0y, v0z = tile[0:1], tile[1:2], tile[2:3]
-        e1x, e1y, e1z = tile[3:4], tile[4:5], tile[5:6]
-        e2x, e2y, e2z = tile[6:7], tile[7:8], tile[8:9]
-        ot = (o[0], o[1], o[2])
-        dt = (d[0], d[1], d[2])
-
-        # Static unroll over the 128 ray columns: TPU vector memory cannot
-        # index single lanes dynamically, but static lane slices are fine.
-        # Each step intersects (8 rays x 128 triangles) — ray components are
-        # (8,1) columns, triangle components (1,128) rows; both broadcast
-        # natively on the VPU.
-        for g in range(128):
-            cox = ot[0][:, g : g + 1]
-            coy = ot[1][:, g : g + 1]
-            coz = ot[2][:, g : g + 1]
-            cdx = dt[0][:, g : g + 1]
-            cdy = dt[1][:, g : g + 1]
-            cdz = dt[2][:, g : g + 1]
-            # Möller–Trumbore, reference semantics (cl/extend.cl:6-27)
-            hx = cdy * e2z - cdz * e2y
-            hy = cdz * e2x - cdx * e2z
-            hz = cdx * e2y - cdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / jnp.where(a == 0.0, jnp.float32(1.0), a)
-            sx = cox - v0x
-            sy = coy - v0y
-            sz = coz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (cdx * qx + cdy * qy + cdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            valid = (
-                (jnp.abs(a) >= 1e-5)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > 1e-4)
-            )
-            t = jnp.where(valid, t, BIG)
-            col_t = jnp.min(t, axis=1, keepdims=True)  # (8,1)
-            col_arg = jnp.argmin(t, axis=1).reshape(8, 1).astype(jnp.int32)
-            # merge into the packet state at column g (static lane store)
-            cur_t = t_out[0, :, g : g + 1]
-            cur_s = slot_out[0, :, g : g + 1]
-            better = col_t < cur_t
-            t_out[0, :, g : g + 1] = jnp.where(better, col_t, cur_t)
-            slot_out[0, :, g : g + 1] = jnp.where(better, cid * 128 + col_arg, cur_s)
+        _mt_columns(o, d, tri_ref[cid], cid, t_out, slot_out)
 
     def body(carry):
         sp, t_ub = carry
@@ -254,9 +260,10 @@ def _traverse_pallas_padded(scene: PallasScene, o3, d3, interpret=False):
 
 
 def traverse_pallas(scene: PallasScene, orig, direction, *, interpret: bool = False, **_):
-    """Closest-hit via the Pallas packet kernel.
+    """Closest-hit via the Pallas packet-DFS kernel (works for ANY rays,
+    coherent or not — no candidate budget).
 
-    orig/direction: f32[R,3], R a multiple of 1024, packet-coherent.
+    orig/direction: f32[R,3], R a multiple of 1024.
     Returns (t, hit_original_ids); miss => (1e30, -1).
     """
     r = orig.shape[0]
@@ -264,3 +271,123 @@ def traverse_pallas(scene: PallasScene, orig, direction, *, interpret: bool = Fa
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
     return _traverse_pallas_padded(scene, o3, d3, interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Queued kernel: per-stratum precomputed candidates, zero in-kernel traversal
+# --------------------------------------------------------------------------
+
+
+def _queued_kernel(queue, entry, ox, oy, oz, dx, dy, dz, tri_block, t_out, slot_out, t_ub):
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    max_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        t_out[0] = jnp.full((8, 128), BIG)
+        slot_out[0] = jnp.full((8, 128), -1, jnp.int32)
+        t_ub[0] = BIG
+
+    cid = queue[g * max_c + c]
+    # candidates are near-to-far ordered; entry is a conservative lower bound
+    # on the cluster's hit distance, so entry >= t_ub can never improve any
+    # ray of the packet (the packet-level early exit of an ordered DFS)
+    run = jnp.logical_and(cid >= 0, entry[g * max_c + c] < t_ub[0])
+
+    @pl.when(run)
+    def _():
+        o = (ox[0], oy[0], oz[0])
+        d = (dx[0], dy[0], dz[0])
+        _mt_columns(o, d, tri_block[0], cid, t_out, slot_out)
+        t_ub[0] = jnp.max(t_out[0])
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates", "interpret"))
+def _traverse_queued_padded(scene, o3, d3, queue, entry, max_candidates, interpret=False):
+    g_total = o3.shape[0]
+
+    def plane(x, c):
+        return x[:, :, c].reshape(g_total, 128, 8).swapaxes(1, 2)
+
+    comps = [plane(o3, 0), plane(o3, 1), plane(o3, 2), plane(d3, 0), plane(d3, 1), plane(d3, 2)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # queue (drives the tri-block index map), entry
+        grid=(g_total, max_candidates),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        * 6
+        + [
+            pl.BlockSpec(
+                (1, TRI_ROWS, 128),
+                lambda g, c, q, e: (jnp.maximum(q[g * max_candidates + c], 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+    )
+    t, slot = pl.pallas_call(
+        _queued_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g_total, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queue.reshape(-1), entry.reshape(-1), *comps, scene.tri)
+    t = t.swapaxes(1, 2).reshape(g_total * PACKET)
+    slot = slot.swapaxes(1, 2).reshape(g_total * PACKET)
+    hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
+    hit = jnp.where(t >= BIG, -1, hit)
+    return t, hit
+
+
+def traverse_pallas_queued(
+    scene: PallasScene,
+    orig,
+    direction,
+    *,
+    lamp_xyz,
+    light_length,
+    max_candidates: int = 32,
+    interpret: bool = False,
+    **_,
+):
+    """Closest-hit for *stratified* packets via wedge-precomputed candidate
+    lists (ops/candidates.py) — no tree traversal on device; the Pallas grid
+    pipelines one cluster-tile DMA per (packet, candidate) step and skips
+    steps the packet's early-exit bound has ruled out.
+
+    Rays MUST come from generate_stratified(key, R, lamp_xyz, light_length)
+    with the same lamp/stratum grid. Returns (t, hit_ids, overflow) where
+    overflow counts clusters dropped by the candidate budget (0 => exact).
+    """
+    from uvtrace.ops.candidates import stratum_candidates
+    from uvtrace.ops.generate import _stratum_grid
+
+    r = orig.shape[0]
+    assert r % PACKET == 0, (r, PACKET)
+    g_total = r // PACKET
+    gy, gphi = _stratum_grid(g_total)
+    queue, entry, counts = stratum_candidates(
+        scene.box_min,
+        scene.box_max,
+        jnp.asarray(lamp_xyz, jnp.float32),
+        light_length,
+        gy,
+        gphi,
+        max_candidates=max_candidates,
+    )
+    o3 = orig.reshape(g_total, PACKET, 3)
+    d3 = direction.reshape(g_total, PACKET, 3)
+    t, hit = _traverse_queued_padded(
+        scene, o3, d3, queue, entry.astype(jnp.float32), max_candidates, interpret=interpret
+    )
+    overflow = jnp.sum(jnp.maximum(counts - max_candidates, 0))
+    return t, hit, overflow

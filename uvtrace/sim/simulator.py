@@ -65,7 +65,10 @@ def launch_counts(
         else:
             key = jax.random.fold_in(rng_in, i)
             rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
-        _, hit_ids = extend_fn(scene, rays.orig, rays.dir)
+        res = extend_fn(
+            scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
+        )
+        hit_ids = res[1]
         # mask rays beyond n in the last (padded) chunk
         valid = start + jnp.arange(chunk) < n
         hit_ids = jnp.where(valid, hit_ids, -1)
