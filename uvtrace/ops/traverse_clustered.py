@@ -117,8 +117,17 @@ def traverse_clustered(
     """
     r = orig.shape[0]
     packet = min(packet, r)
-    assert r % packet == 0, (r, packet)
-    g_total = r // packet
+    # pad to a whole number of packets (and of scan groups) with dummy rays
+    r_round = packet * (-(-r // packet))
+    if r_round // packet > group:
+        r_round = packet * group * (-(-r_round // (packet * group)))
+    pad = r_round - r
+    if pad:
+        orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], direction.dtype), (pad, 3))]
+        )
+    g_total = r_round // packet
     o = orig.reshape(g_total, packet, 3)
     d = direction.reshape(g_total, packet, 3)
 
@@ -134,8 +143,8 @@ def traverse_clustered(
         (t, hit, ov) = jax.lax.map(lambda od: run_group(od[0], od[1]), (o, d))
         t = t.reshape(g_total, packet)
         hit = hit.reshape(g_total, packet)
-    t = t.reshape(r)
-    hit = hit.reshape(r)
+    t = t.reshape(r_round)[:r]
+    hit = hit.reshape(r_round)[:r]
     if return_overflow:
         return t, hit, jnp.sum(ov)
     return t, hit
