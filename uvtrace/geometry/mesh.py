@@ -56,6 +56,14 @@ class TriangleMesh:
         return (0.5 * np.linalg.norm(c, axis=1)).astype(np.float32)
 
     @property
+    def normals(self) -> np.ndarray:
+        """float32[T,3] unit normals (cross(e1,e2), right-hand winding)."""
+        v0, v1, v2 = self.tris[:, 0], self.tris[:, 1], self.tris[:, 2]
+        n = np.cross(v1 - v0, v2 - v0)
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        return (n / np.maximum(norm, 1e-20)).astype(np.float32)
+
+    @property
     def aabb(self) -> tuple[np.ndarray, np.ndarray]:
         lo = self.tris.reshape(-1, 3).min(axis=0)
         hi = self.tris.reshape(-1, 3).max(axis=0)

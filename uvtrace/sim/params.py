@@ -33,10 +33,14 @@ class SimParams:
     min_power: float = 1500.0  # µW/cm^2
 
     # Framework knobs (no reference equivalent):
-    sampler: str = "native"  # "native" (threefry) | "reference" (xorshift32)
+    sampler: str = "native"  # "native" | "stratified" | "reference"
     accumulate_method: str = "sort"  # see ops/accumulate.py
-    traversal: str = "auto"  # "auto" | "jax" | "pallas"
+    traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas"
     seed: int = 0
+    # Multi-bounce diffuse interreflection (superset of the reference, which
+    # is direct-lighting-only — Report §1.1; BASELINE config 2):
+    max_bounces: int = 0  # 0 = reference behavior
+    reflectance: float = 0.0  # uniform UV reflectance (RR survival prob)
 
     def photons_per_light(self, num_lights: int) -> int:
         """Per-lamp launch size: floor division rounded down to even

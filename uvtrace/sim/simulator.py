@@ -33,10 +33,24 @@ from uvtrace.sim.params import SimParams, ViewMode
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn")
+    jax.jit,
+    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces"),
 )
 def launch_counts(
-    scene, rng_in, lamp_xyz, light_length, *, t_count, n, chunk, sampler, method, extend_fn
+    scene,
+    rng_in,
+    lamp_xyz,
+    light_length,
+    *,
+    t_count,
+    n,
+    chunk,
+    sampler,
+    method,
+    extend_fn,
+    max_bounces=0,
+    normals=None,
+    reflectance=None,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
@@ -68,11 +82,36 @@ def launch_counts(
         res = extend_fn(
             scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
         )
-        hit_ids = res[1]
+        t_hit, hit_ids = res[0], res[1]
         # mask rays beyond n in the last (padded) chunk
         valid = start + jnp.arange(chunk) < n
         hit_ids = jnp.where(valid, hit_ids, -1)
-        return counts + acc_ops.hit_counts(hit_ids, t_count, method), None
+        counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
+
+        if max_bounces > 0:
+            # diffuse interreflection with Russian roulette (ops/bounce.py);
+            # bounced rays lose packet coherence, so the extend backend must
+            # be budget-free (pallas DFS / clustered with a generous budget)
+            from uvtrace.ops.bounce import bounce_rays
+
+            if sampler == "reference":
+                base_key = jax.random.PRNGKey(0)
+                base_key = jax.random.fold_in(base_key, rng_in.astype(jnp.int32))
+            else:
+                base_key = rng_in
+            orig, direction, alive = rays.orig, rays.dir, valid
+            for b in range(max_bounces):
+                kb = jax.random.fold_in(jax.random.fold_in(base_key, 7919 + b), i)
+                orig, direction, alive = bounce_rays(
+                    kb, orig, direction, t_hit, hit_ids, normals, reflectance, alive
+                )
+                res = extend_fn(
+                    scene, orig, direction, lamp_xyz=lamp_xyz, light_length=light_length
+                )
+                t_hit, hit_b = res[0], res[1]
+                hit_ids = jnp.where(alive, hit_b, -1)
+                counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
+        return counts, None
 
     counts, _ = jax.lax.scan(
         one_chunk, jnp.zeros((t_count,), jnp.int32), jnp.arange(n_chunks, dtype=jnp.int32)
@@ -140,7 +179,16 @@ class Simulator:
             else:
                 self.scene = cluster_arrays(self.clusters)
                 self._extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
+        self.normals = jnp.asarray(mesh.normals)
+        self.reflectance = jnp.full((mesh.triangle_count,), params.reflectance, jnp.float32)
         self.reset()
+
+    def set_reflectance(self, reflectance):
+        """Per-triangle UV reflectance (RR survival probability) for
+        multi-bounce mode; scalar or float32[T]."""
+        self.reflectance = jnp.broadcast_to(
+            jnp.asarray(reflectance, jnp.float32), (self.triangle_count,)
+        )
 
     # ---------------------------------------------------------------- state
 
@@ -190,6 +238,9 @@ class Simulator:
             sampler=self.params.sampler,
             method=self.params.accumulate_method,
             extend_fn=self._extend,
+            max_bounces=self.params.max_bounces,
+            normals=self.normals if self.params.max_bounces else None,
+            reflectance=self.reflectance if self.params.max_bounces else None,
         )
         self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
             self.photon_map, self.max_photon_map, counts, lamp.duration
