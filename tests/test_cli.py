@@ -1,0 +1,97 @@
+"""CLI commands end-to-end (small scenes; compute/calibrate/info/render)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from uvtrace.cli import main
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
+SCENE = os.path.join(ASSETS, "testroomopt.glb")
+
+
+def run_cli(args, capsys):
+    rc = main(args)
+    out = capsys.readouterr()
+    return rc, out.out
+
+
+def test_info(capsys):
+    rc, out = run_cli(["info", SCENE], capsys)
+    assert rc == 0
+    assert "triangles: 44866" in out
+    assert "floor height" in out
+
+
+def test_compute_small(tmp_path, capsys):
+    rc, out = run_cli(
+        [
+            "compute",
+            SCENE,
+            "--photon-count", "4096",
+            "--iterations", "1",
+            "--traversal", "clustered",
+            "--output", str(tmp_path / "out"),
+            "--checkpoint",
+            "--no-render",  # rasterizing 45k tris on CPU is slow; rendering
+        ],
+        capsys,
+    )
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["photons"] == 4096
+    assert stats["dose_max"] > 0
+    assert (tmp_path / "out" / "dose_mJ_cm2.npy").exists()
+    assert (tmp_path / "out" / "checkpoint.npz").exists()
+    # render from the checkpoint
+    rc, out = run_cli(
+        [
+            "render",
+            SCENE,
+            "--checkpoint", str(tmp_path / "out" / "checkpoint.npz"),
+            "--output", str(tmp_path / "r.png"),
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert (tmp_path / "r.png").stat().st_size > 100
+
+
+def test_compute_with_route(tmp_path, capsys):
+    rc, out = run_cli(
+        [
+            "compute",
+            SCENE,
+            "--route", os.path.join(ASSETS, "route.xml"),
+            "--photon-count", "8192",
+            "--iterations", "1",
+            "--no-render",
+            "--output", str(tmp_path / "out"),
+        ],
+        capsys,
+    )
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    # 12 waypoints x (8192//12 rounded to even)
+    assert stats["photons"] == 12 * ((8192 // 12) & ~1)
+
+
+def test_calibrate(capsys):
+    rc, out = run_cli(
+        [
+            "calibrate",
+            SCENE,
+            "--photon-count", "16384",
+            "--iterations", "2",
+            "--measure-power", "2909",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    result = json.loads(out.strip().splitlines()[-1])
+    assert 10 < result["calibrated_power_W"] < 10000

@@ -1,0 +1,117 @@
+"""Viz (camera XML, rasterizer, PNG), checkpointing, exports, utils."""
+
+import dataclasses
+import os
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvtrace.geometry.procedural import make_box_room
+from uvtrace.io.checkpoint import load_checkpoint, save_checkpoint
+from uvtrace.io.export import export_heatmap_png, export_legend_png
+from uvtrace.io.png import write_png
+from uvtrace.io.routexml import LightPos
+from uvtrace.sim import SimParams, Simulator
+from uvtrace.utils.timing import ProgressReporter, Timer
+from uvtrace.viz.camera import Camera
+from uvtrace.viz.rasterizer import render_heatmap
+
+
+def test_camera_xml_roundtrip(tmp_path):
+    cam = Camera.look_at((1.0, 2.0, 3.0), (0.0, 0.0, 0.0), fov_deg=40.0)
+    path = tmp_path / "camera.xml"
+    cam.save_xml(path)
+    cam2 = Camera.load_xml(path)
+    np.testing.assert_allclose(cam2.view, cam.view, rtol=1e-5)
+    assert cam2.fov_deg == 40.0
+
+
+def test_look_at_orthonormal():
+    cam = Camera.look_at((2.0, 1.0, 2.0), (0.0, 0.0, 0.0))
+    r = cam.view[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+def test_png_writer_valid(tmp_path):
+    img = (np.random.default_rng(0).uniform(0, 255, (16, 24, 3))).astype(np.uint8)
+    path = tmp_path / "x.png"
+    write_png(path, img)
+    data = path.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode the IDAT back and compare rows
+    start = data.index(b"IDAT") + 4
+    length = int.from_bytes(data[start - 8 : start - 4], "big")
+    raw = zlib.decompress(data[start : start + length])
+    rows = np.frombuffer(raw, np.uint8).reshape(16, 1 + 24 * 3)[:, 1:]
+    np.testing.assert_array_equal(rows.reshape(16, 24, 3), img)
+
+
+def test_rasterizer_renders_room(small_room):
+    colors = np.tile(np.array([[1.0, 0.2, 0.1]], np.float32), (small_room.triangle_count, 1))
+    img = render_heatmap(small_room.tris, colors, width=128, height=96)
+    assert img.shape == (96, 128, 3)
+    # the room must cover a good part of the frame with the given color
+    red = (img[:, :, 0] > 150).mean()
+    assert red > 0.2, red
+
+
+def test_rasterizer_depth_order():
+    # two quads, red in front of blue; camera on +z looking at origin
+    tris = np.array(
+        [
+            [[-1, -1, 0], [1, -1, 0], [0, 1, 0]],  # blue, z=0
+            [[-0.5, -0.5, 1], [0.5, -0.5, 1], [0, 0.5, 1]],  # red, z=1 (closer)
+        ],
+        np.float32,
+    )
+    colors = np.array([[0, 0, 1], [1, 0, 0]], np.float32)
+    cam = Camera.look_at((0, 0, 4.0), (0, 0, 0))
+    img = render_heatmap(tris, colors, camera=cam, width=64, height=64)
+    center = img[32, 32]
+    assert center[0] > 200 and center[2] < 60, center  # red wins
+
+
+def test_export_pngs(tmp_path, small_room):
+    dose = jnp.linspace(0, 300, small_room.triangle_count)
+    export_heatmap_png(tmp_path / "d.png", small_room.tris, dose, 100.0)
+    export_legend_png(tmp_path / "l.png", 100.0)
+    assert (tmp_path / "d.png").stat().st_size > 100
+    assert (tmp_path / "l.png").stat().st_size > 100
+
+
+def test_checkpoint_roundtrip(tmp_path, small_room):
+    p = SimParams(photon_count=1 << 12, max_iterations=2, seed=9)
+    sim = Simulator(small_room, p, route=[LightPos(0.1, 0.2, 30.0)])
+    sim.run_iteration()
+    save_checkpoint(tmp_path / "ck.npz", sim)
+
+    sim2 = Simulator(small_room, SimParams())
+    load_checkpoint(tmp_path / "ck.npz", sim2)
+    np.testing.assert_array_equal(np.asarray(sim2.photon_map), np.asarray(sim.photon_map))
+    assert sim2.curr_iterations == 1
+    assert sim2.params.photon_count == 1 << 12
+    assert sim2.route[0].duration == 30.0
+    # resumed run continues exactly like the original
+    sim.run_iteration()
+    sim2.run_iteration()
+    np.testing.assert_array_equal(np.asarray(sim2.photon_map), np.asarray(sim.photon_map))
+
+
+def test_checkpoint_scene_mismatch(tmp_path, small_room):
+    sim = Simulator(small_room, SimParams(photon_count=1 << 10, max_iterations=1))
+    save_checkpoint(tmp_path / "ck.npz", sim)
+    other = make_box_room(subdivisions=2)
+    sim2 = Simulator(other, SimParams())
+    with pytest.raises(ValueError):
+        load_checkpoint(tmp_path / "ck.npz", sim2)
+
+
+def test_timer_and_progress(capsys):
+    t = Timer()
+    assert t.elapsed() >= 0
+    rep = ProgressReporter(10)
+    rep.update(1, 1000)
+    out = capsys.readouterr().out
+    assert "Progress: 10%" in out and "photon count: 1000" in out

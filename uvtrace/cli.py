@@ -1,0 +1,276 @@
+"""Headless CLI — replaces the reference's ImGui/OpenGL interaction layer
+(userinterface.cpp / myapp.cpp) with batch commands (SURVEY.md §7):
+
+  python -m uvtrace info    <scene.glb>
+  python -m uvtrace compute <scene.glb> [--route route.xml] [...]
+  python -m uvtrace calibrate <scene.glb> --measure-power 2909 [...]
+  python -m uvtrace optimize-route <scene.glb> --route route.xml [...]
+  python -m uvtrace render  <scene.glb> --checkpoint state.npz [...]
+  python -m uvtrace bench
+
+Every parameter the reference UI exposes (power, lamp length/height, photon
+count, iterations, min dose/irradiance, view modes, threshold view,
+calibration modal defaults — userinterface.cpp:42-408) has a flag here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+
+def _load_mesh(path: str):
+    from uvtrace.geometry.gltf import load_glb
+
+    return load_glb(path)
+
+
+def _apply_param_flags(params, args):
+    import dataclasses
+
+    override = {}
+    for field in [
+        "photon_count",
+        "max_iterations",
+        "light_intensity",
+        "light_length",
+        "light_height",
+        "min_dosage",
+        "min_power",
+        "sampler",
+        "traversal",
+        "max_bounces",
+        "reflectance",
+        "seed",
+    ]:
+        v = getattr(args, field, None)
+        if v is not None:
+            override[field] = v
+    return dataclasses.replace(params, **override)
+
+
+def _add_param_flags(p):
+    p.add_argument("--photon-count", dest="photon_count", type=int)
+    p.add_argument("--iterations", dest="max_iterations", type=int)
+    p.add_argument("--power", dest="light_intensity", type=float)
+    p.add_argument("--lamp-length", dest="light_length", type=float)
+    p.add_argument("--lamp-height", dest="light_height", type=float)
+    p.add_argument("--min-dosage", dest="min_dosage", type=float)
+    p.add_argument("--min-power", dest="min_power", type=float)
+    p.add_argument("--sampler", choices=["native", "stratified", "reference"])
+    p.add_argument("--traversal", choices=["auto", "clustered", "jax", "pallas"])
+    p.add_argument("--bounces", dest="max_bounces", type=int)
+    p.add_argument("--reflectance", type=float)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--route", type=str, help="route XML (reference schema)")
+
+
+def _build_sim(args):
+    import numpy as np
+
+    from uvtrace.io.routexml import load_route_xml
+    from uvtrace.sim import SimParams, Simulator
+
+    mesh = _load_mesh(args.scene)
+    params = SimParams()
+    route = None
+    if args.route:
+        r = load_route_xml(args.route)
+        params = r.apply_to(params)
+        route = r.waypoints
+    params = _apply_param_flags(params, args)
+    return mesh, Simulator(mesh, params, route=route)
+
+
+def cmd_info(args):
+    mesh = _load_mesh(args.scene)
+    lo, hi = mesh.aabb
+    print(f"scene: {mesh.name}")
+    print(f"triangles: {mesh.triangle_count}")  # mesh.cpp:94-96 prints the same
+    print(f"floor height: {mesh.floor_height:.4f} m")
+    print(f"aabb: {lo.round(3).tolist()} .. {hi.round(3).tolist()}")
+    print(f"surface area: {mesh.areas.sum():.2f} m^2")
+    return 0
+
+
+def cmd_compute(args):
+    import numpy as np
+
+    from uvtrace.io.checkpoint import save_checkpoint
+    from uvtrace.io.export import export_dose_npy, export_heatmap_png, export_legend_png
+    from uvtrace.sim import ViewMode
+    from uvtrace.utils.timing import ProgressReporter
+
+    mesh, sim = _build_sim(args)
+    reporter = ProgressReporter(sim.params.max_iterations)
+    while not sim.finished:
+        sim.run_iteration()
+        reporter.update(sim.curr_iterations, sim.photon_map_size)
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    dose = sim.dosage_map(ViewMode.DOSAGE)
+    irr = sim.dosage_map(ViewMode.MAX_POWER)
+    export_dose_npy(out / "dose_mJ_cm2.npy", dose)
+    export_dose_npy(out / "irradiance_uW_cm2.npy", irr)
+    if not args.no_render:
+        export_heatmap_png(
+            out / "dose.png", mesh.tris, dose, sim.params.min_dosage, args.threshold_view
+        )
+        export_heatmap_png(
+            out / "irradiance.png", mesh.tris, irr, sim.params.min_power, args.threshold_view
+        )
+        export_legend_png(out / "legend.png", sim.params.min_dosage)
+    if args.checkpoint:
+        save_checkpoint(out / "checkpoint.npz", sim)
+    d = np.asarray(dose)
+    print(
+        json.dumps(
+            {
+                "photons": sim.photon_map_size,
+                "dose_max": float(d.max()),
+                "dose_mean": float(d.mean()),
+                "dose_min": float(d.min()),
+                "coverage_above_min": float((d >= sim.params.min_dosage).mean()),
+                "output": str(out),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_calibrate(args):
+    mesh, sim = _build_sim(args)
+    power = sim.calibrate_power(args.measure_power, args.measure_height, args.measure_dist)
+    print(json.dumps({"calibrated_power_W": power}))
+    return 0
+
+
+def cmd_optimize_route(args):
+    import numpy as np
+
+    from uvtrace.diff import make_diff_scene, optimize_route
+    from uvtrace.io.routexml import LightPos, Route, load_route_xml, save_route_xml
+    from uvtrace.sim import SimParams
+
+    mesh = _load_mesh(args.scene)
+    r = load_route_xml(args.route)
+    params = _apply_param_flags(r.apply_to(SimParams()), args)
+    scene = make_diff_scene(mesh)
+    wp = np.array([[w.x, w.y] for w in r.waypoints], np.float32)
+    durs = np.array([w.duration for w in r.waypoints], np.float32)
+    lo, hi = mesh.aabb
+    res = optimize_route(
+        scene,
+        wp,
+        durs,
+        mesh.floor_height + params.light_height,
+        params.light_length,
+        params.light_intensity,
+        steps=args.steps,
+        learning_rate=args.lr,
+        n_samples=args.samples,
+        progress=lambda i, l: print(f"step {i}: loss {l:.4f}", file=sys.stderr),
+    )
+    out_route = Route(
+        waypoints=[
+            LightPos(float(x), float(y), float(d))
+            for (x, y), d in zip(res.waypoints_xz, res.durations)
+        ],
+        photon_count=params.photon_count,
+        max_iterations=params.max_iterations,
+        light_intensity=params.light_intensity,
+        min_dosage=params.min_dosage,
+        min_power=params.min_power,
+        light_length=params.light_length,
+        light_height=params.light_height,
+    )
+    save_route_xml(args.output, out_route)
+    print(json.dumps({"final_min_dose": res.final_min_dose, "output": args.output}))
+    return 0
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvtrace.io.checkpoint import load_checkpoint
+    from uvtrace.io.export import export_heatmap_png
+    from uvtrace.sim import SimParams, Simulator, ViewMode
+    from uvtrace.viz.camera import Camera
+
+    mesh = _load_mesh(args.scene)
+    sim = Simulator(mesh, SimParams())
+    load_checkpoint(args.checkpoint, sim)
+    camera = Camera.load_xml(args.camera) if args.camera else None
+    view = ViewMode.MAX_POWER if args.view == "maxpower" else ViewMode.DOSAGE
+    scale = sim.params.min_power if view == ViewMode.MAX_POWER else sim.params.min_dosage
+    export_heatmap_png(
+        args.output, mesh.tris, sim.dosage_map(view), scale, args.threshold_view,
+        camera=camera,
+    )
+    print(json.dumps({"output": args.output}))
+    return 0
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="uvtrace", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("info", help="scene statistics")
+    pi.add_argument("scene")
+    pi.set_defaults(fn=cmd_info)
+
+    pc = sub.add_parser("compute", help="compute the dosage map")
+    pc.add_argument("scene")
+    _add_param_flags(pc)
+    pc.add_argument("--output", default="out")
+    pc.add_argument("--threshold-view", action="store_true")
+    pc.add_argument("--no-render", action="store_true")
+    pc.add_argument("--checkpoint", action="store_true")
+    pc.set_defaults(fn=cmd_compute)
+
+    pk = sub.add_parser("calibrate", help="calibrate lamp power vs a UV-meter reading")
+    pk.add_argument("scene")
+    _add_param_flags(pk)
+    pk.add_argument("--measure-power", type=float, required=True, help="µW/cm^2")
+    pk.add_argument("--measure-height", type=float, default=0.8, help="m")
+    pk.add_argument("--measure-dist", type=float, default=1.0, help="m")
+    pk.set_defaults(fn=cmd_calibrate)
+
+    po = sub.add_parser("optimize-route", help="gradient-optimize route waypoints")
+    po.add_argument("scene")
+    _add_param_flags(po)
+    po.add_argument("--steps", type=int, default=100)
+    po.add_argument("--lr", type=float, default=0.05)
+    po.add_argument("--samples", type=int, default=4)
+    po.add_argument("--output", default="route_optimized.xml")
+    po.set_defaults(fn=cmd_optimize_route)
+
+    pr = sub.add_parser("render", help="render a checkpointed dose map to PNG")
+    pr.add_argument("scene")
+    pr.add_argument("--checkpoint", required=True)
+    pr.add_argument("--camera", help="camera.xml (reference schema)")
+    pr.add_argument("--view", choices=["dosage", "maxpower"], default="dosage")
+    pr.add_argument("--threshold-view", action="store_true")
+    pr.add_argument("--output", default="render.png")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

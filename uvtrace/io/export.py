@@ -1,0 +1,36 @@
+"""Dose-map exports: npy arrays, heatmap legend, rendered PNG views."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from uvtrace.io.png import write_png
+from uvtrace.ops.shade import dosage_to_color, greyscale_to_heatmap
+
+
+def export_dose_npy(path, dose) -> None:
+    np.save(str(path), np.asarray(dose))
+
+
+def export_heatmap_png(path, mesh_tris, dose, min_value, threshold_view=False,
+                       camera=None, width=960, height=720) -> None:
+    """Render the per-triangle heatmap to a PNG (the reference's GL view,
+    myapp.cpp:180-205, headless)."""
+    from uvtrace.viz.rasterizer import render_heatmap
+
+    colors = np.asarray(dosage_to_color(dose, min_value, threshold_view))
+    img = render_heatmap(mesh_tris, colors, camera=camera, width=width, height=height)
+    write_png(path, img)
+
+
+def export_legend_png(path, min_value, width=256, height=32) -> None:
+    """The heatmap legend strip (UI legend, userinterface.cpp:366-402):
+    gradient from 0 to 2*min_value."""
+    ramp = np.linspace(0.0, 1.0, width, dtype=np.float32)
+    import jax.numpy as jnp
+
+    colors = np.asarray(greyscale_to_heatmap(jnp.asarray(ramp)))
+    img = np.clip(np.broadcast_to(colors[None, :, :], (height, width, 3)), 0, 1)
+    write_png(path, (img * 255).astype(np.uint8))

@@ -1,0 +1,123 @@
+"""Headless software rasterizer — the reference's OpenGL heatmap view
+(myapp.cpp:180-205 + shaders/shader3D.*) replaced by a chunked z-buffered
+edge-function rasterizer in jnp that renders per-triangle flat colors to an
+image. TPU hosts have no GL; rendering to PNG files is the L5 parity path.
+
+Algorithm: project triangles through the camera; for chunks of triangles,
+evaluate edge functions over the full image, keep per-pixel (depth, color)
+via a running min-z merge — fully vectorized, no scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvtrace.viz.camera import Camera
+
+
+def _project(tris, view, fov_deg, width, height):
+    """World [T,3,3] -> screen xy [T,3,2], view-space depth [T,3], valid."""
+    t_count = tris.shape[0]
+    v = tris.reshape(-1, 3)
+    vh = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+    cam = (view @ vh.T).T  # [N,4], view space (-z forward)
+    z = -cam[:, 2]
+    f = 1.0 / jnp.tan(jnp.radians(fov_deg) / 2.0)
+    aspect = width / height
+    eps = 1e-6
+    x_ndc = (cam[:, 0] * f / aspect) / jnp.maximum(z, eps)
+    y_ndc = (cam[:, 1] * f) / jnp.maximum(z, eps)
+    sx = (x_ndc * 0.5 + 0.5) * width
+    sy = (1.0 - (y_ndc * 0.5 + 0.5)) * height
+    xy = jnp.stack([sx, sy], axis=1).reshape(t_count, 3, 2)
+    depth = z.reshape(t_count, 3)
+    return xy, depth
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk"))
+def _render(tris, colors, view, fov_deg, width=640, height=480, chunk=256):
+    xy, depth = _project(tris, view, fov_deg, width, height)
+    behind = jnp.any(depth <= 1e-4, axis=1)  # drop tris crossing the camera
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx = px[None, :]  # [1,W]
+    gy = py[:, None]  # [H,1]
+
+    t_count = tris.shape[0]
+    pad = (-t_count) % chunk
+    xy = jnp.pad(xy, ((0, pad), (0, 0), (0, 0)))
+    depth = jnp.pad(depth, ((0, pad), (0, 0)), constant_values=1.0)
+    colors = jnp.pad(colors, ((0, pad), (0, 0)))
+    behind = jnp.pad(behind, (0, pad), constant_values=True)
+
+    def chunk_step(carry, idx):
+        zbuf, img = carry
+        cxy = jax.lax.dynamic_slice_in_dim(xy, idx * chunk, chunk)
+        cz = jax.lax.dynamic_slice_in_dim(depth, idx * chunk, chunk)
+        cc = jax.lax.dynamic_slice_in_dim(colors, idx * chunk, chunk)
+        cb = jax.lax.dynamic_slice_in_dim(behind, idx * chunk, chunk)
+
+        def one_tri(i, carry):
+            zbuf, img = carry
+            a, b, c = cxy[i, 0], cxy[i, 1], cxy[i, 2]
+
+            def edge(p, q):
+                return (q[0] - p[0]) * (gy - p[1]) - (q[1] - p[1]) * (gx - p[0])
+
+            e0 = edge(a, b)
+            e1 = edge(b, c)
+            e2 = edge(c, a)
+            area = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            inside = jnp.where(
+                area >= 0, (e0 >= 0) & (e1 >= 0) & (e2 >= 0), (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+            )
+            zmean = jnp.mean(cz[i])  # flat per-tri depth (adequate for heatmaps)
+            covered = inside & (~cb[i]) & (zmean < zbuf) & (jnp.abs(area) > 1e-12)
+            zbuf = jnp.where(covered, zmean, zbuf)
+            img = jnp.where(covered[..., None], cc[i][None, None, :], img)
+            return zbuf, img
+
+        zbuf, img = jax.lax.fori_loop(0, chunk, one_tri, (zbuf, img))
+        return (zbuf, img), None
+
+    zbuf0 = jnp.full((height, width), jnp.inf)
+    img0 = jnp.zeros((height, width, 3))
+    (zbuf, img), _ = jax.lax.scan(
+        chunk_step, (zbuf0, img0), jnp.arange((t_count + pad) // chunk)
+    )
+    return img
+
+
+def render_heatmap(
+    mesh_tris,
+    colors,
+    camera: Camera | None = None,
+    width: int = 640,
+    height: int = 480,
+) -> np.ndarray:
+    """Render per-triangle RGB colors to a uint8 image [H,W,3].
+
+    camera: defaults to a look-at from above the scene diagonal.
+    """
+    tris = jnp.asarray(mesh_tris, jnp.float32)
+    if camera is None:
+        lo = np.asarray(tris.reshape(-1, 3).min(axis=0))
+        hi = np.asarray(tris.reshape(-1, 3).max(axis=0))
+        center = (lo + hi) / 2
+        size = float(np.linalg.norm(hi - lo))
+        eye = center + np.array([0.45, 0.75, 0.45]) * size
+        camera = Camera.look_at(eye, center)
+    img = _render(
+        tris,
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(camera.view),
+        jnp.float32(camera.fov_deg),
+        width=width,
+        height=height,
+    )
+    return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
