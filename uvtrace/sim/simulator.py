@@ -158,8 +158,18 @@ class Simulator:
         if bvh is not None:
             backend = "jax"
         self.backend = backend
+
+        # prefer the native C++ builder when the toolchain is present
+        from uvtrace.bvh import native as native_builder
+
+        use_native = native_builder.available()
         if backend == "jax":
-            self.bvh = bvh if bvh is not None else build_bvh(mesh.tris, max_leaf_size=max_leaf_size)
+            if bvh is not None:
+                self.bvh = bvh
+            elif use_native:
+                self.bvh = native_builder.build_bvh_native(mesh.tris, max_leaf_size=max_leaf_size)
+            else:
+                self.bvh = build_bvh(mesh.tris, max_leaf_size=max_leaf_size)
             self.scene = trav_ops.scene_arrays(self.bvh)
             self._extend = functools.partial(
                 trav_ops.traverse, max_leaf=self.bvh.max_leaf_size
@@ -168,7 +178,12 @@ class Simulator:
             from uvtrace.ops.cluster import build_clusters
             from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
-            self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
+            if use_native:
+                self.clusters = native_builder.build_clusters_native(
+                    mesh.tris, cluster_size=cluster_size
+                )
+            else:
+                self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
             if backend == "pallas":
                 from uvtrace.ops.traverse_pallas import build_pallas_scene, traverse_pallas
 
