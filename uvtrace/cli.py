@@ -123,6 +123,8 @@ def cmd_compute(args):
             out / "irradiance.png", mesh.tris, irr, sim.params.min_power, args.threshold_view
         )
         export_legend_png(out / "legend.png", sim.params.min_dosage)
+    if args.export_glb:
+        sim.export_glb(out / "dose.glb", ViewMode.DOSAGE, args.threshold_view)
     if args.checkpoint:
         save_checkpoint(out / "checkpoint.npz", sim)
     d = np.asarray(dose)
@@ -205,6 +207,15 @@ def cmd_render(args):
     sim = Simulator(mesh, SimParams())
     load_checkpoint(args.checkpoint, sim)
     camera = Camera.load_xml(args.camera) if args.camera else None
+    if args.view == "texture":
+        # photo-scan view (ViewMode::texture, myapp.cpp:186-194)
+        from uvtrace.io.png import write_png
+        from uvtrace.viz.rasterizer import render_heatmap
+
+        img = render_heatmap(mesh.tris, mesh.flat_texture_colors(), camera=camera)
+        write_png(args.output, img)
+        print(json.dumps({"output": args.output}))
+        return 0
     view = ViewMode.MAX_POWER if args.view == "maxpower" else ViewMode.DOSAGE
     scale = sim.params.min_power if view == ViewMode.MAX_POWER else sim.params.min_dosage
     export_heatmap_png(
@@ -236,6 +247,8 @@ def main(argv=None):
     pc.add_argument("--output", default="out")
     pc.add_argument("--threshold-view", action="store_true")
     pc.add_argument("--no-render", action="store_true")
+    pc.add_argument("--export-glb", action="store_true",
+                    help="write a dose-colored .glb for external viewers")
     pc.add_argument("--checkpoint", action="store_true")
     pc.set_defaults(fn=cmd_compute)
 
@@ -260,7 +273,7 @@ def main(argv=None):
     pr.add_argument("scene")
     pr.add_argument("--checkpoint", required=True)
     pr.add_argument("--camera", help="camera.xml (reference schema)")
-    pr.add_argument("--view", choices=["dosage", "maxpower"], default="dosage")
+    pr.add_argument("--view", choices=["dosage", "maxpower", "texture"], default="dosage")
     pr.add_argument("--threshold-view", action="store_true")
     pr.add_argument("--output", default="render.png")
     pr.set_defaults(fn=cmd_render)

@@ -105,4 +105,27 @@ def load_glb(path: str | Path, primitive: int = 0, mesh_index: int = 0) -> Trian
         uvs=uvs,
         floor_height=detect_floor_height(tris),
         name=path.stem,
+        texture=_load_base_color_texture(gltf, bin_chunk, prim),
     )
+
+
+def _load_base_color_texture(gltf: dict, bin_chunk: bytes, prim: dict):
+    """Base-color texture of the primitive's material (the room scan photo
+    the reference shows in 'texture' view mode, mesh.cpp:166-199).
+    PNG images decode natively; other formats (JPEG) return None."""
+    try:
+        mat = gltf["materials"][prim["material"]]
+        tex_info = mat["pbrMetallicRoughness"]["baseColorTexture"]
+        image = gltf["images"][gltf["textures"][tex_info["index"]]["source"]]
+        if "bufferView" not in image:
+            return None
+        view = gltf["bufferViews"][image["bufferView"]]
+        start = view.get("byteOffset", 0)
+        raw = bin_chunk[start : start + view["byteLength"]]
+        if image.get("mimeType") == "image/png" or raw[:8] == b"\x89PNG\r\n\x1a\n":
+            from uvtrace.io.png import decode_png
+
+            return decode_png(raw)
+        return None  # JPEG etc.: no dependency-free decoder; texture view disabled
+    except (KeyError, IndexError, TypeError):
+        return None

@@ -29,6 +29,7 @@ class TriangleMesh:
     uvs: Optional[np.ndarray] = None
     floor_height: float = 0.0
     name: str = "mesh"
+    texture: Optional[np.ndarray] = None  # uint8[H,W,3] base-color scan photo
 
     def __post_init__(self):
         self.tris = np.ascontiguousarray(self.tris, dtype=np.float32)
@@ -54,6 +55,20 @@ class TriangleMesh:
         v0, v1, v2 = self.tris[:, 0], self.tris[:, 1], self.tris[:, 2]
         c = np.cross(v0 - v1, v0 - v2)
         return (0.5 * np.linalg.norm(c, axis=1)).astype(np.float32)
+
+    def flat_texture_colors(self) -> np.ndarray:
+        """float32[T,3] per-triangle base color sampled from the scan texture
+        at the triangle's UV centroid — the headless stand-in for the
+        reference's textured 'photo scan' view (simpleshader + mesh texture,
+        myapp.cpp:186-194). White when the scene has no texture."""
+        t = self.triangle_count
+        if self.texture is None or self.uvs is None:
+            return np.ones((t, 3), np.float32)
+        h, w = self.texture.shape[:2]
+        uv = self.uvs.mean(axis=1)  # [T,2]
+        x = np.clip((uv[:, 0] % 1.0) * (w - 1), 0, w - 1).astype(np.int64)
+        y = np.clip((uv[:, 1] % 1.0) * (h - 1), 0, h - 1).astype(np.int64)
+        return self.texture[y, x].astype(np.float32) / 255.0
 
     @property
     def normals(self) -> np.ndarray:

@@ -313,9 +313,24 @@ class Simulator:
         return shade_ops.compute_dosage(src, self.areas, n, scaled_power)
 
     def colors(self, view: ViewMode = ViewMode.DOSAGE, threshold_view: bool = False):
+        if view == ViewMode.TEXTURE:
+            return jnp.asarray(self.mesh.flat_texture_colors())
         dose = self.dosage_map(view)
         scale = self.params.min_power if view == ViewMode.MAX_POWER else self.params.min_dosage
         return shade_ops.dosage_to_color(dose, scale, threshold_view)
+
+    def export_glb(self, path, view: ViewMode = ViewMode.DOSAGE, threshold_view=False):
+        """Write a dose-colored .glb viewable in any glTF viewer."""
+        import numpy as np
+
+        from uvtrace.io.gltf_export import export_glb
+
+        export_glb(
+            path,
+            self.mesh.tris,
+            colors=np.asarray(self.colors(view, threshold_view)),
+            uvs=self.mesh.uvs,
+        )
 
     # ------------------------------------------------------------ calibrate
 
