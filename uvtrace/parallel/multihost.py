@@ -60,8 +60,9 @@ def make_2d_mesh(ray_shards: Optional[int] = None, texel_shards: int = 1,
     n = len(devices)
     if ray_shards is None:
         ray_shards = n // texel_shards
-    assert ray_shards * texel_shards == n, (ray_shards, texel_shards, n)
-    arr = np.asarray(devices).reshape(ray_shards, texel_shards)
+    need = ray_shards * texel_shards
+    assert need <= n, (ray_shards, texel_shards, n)
+    arr = np.asarray(devices[:need]).reshape(ray_shards, texel_shards)
     return Mesh(arr, (RAY_AXIS, TEXEL_AXIS))
 
 

@@ -86,6 +86,85 @@ def sharded_launch_counts(
     return fn(scene, key, lamp_xyz, jnp.float32(light_length))
 
 
+TEXEL_AXIS = "texels"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_per_device",
+        "n_texels",
+        "sampler",
+        "method",
+        "max_clusters",
+    ),
+)
+def sharded_texel_counts(
+    mesh: Mesh,
+    scene: ClusterArrays,
+    atlas,
+    tri_v0,
+    tri_e1,
+    tri_e2,
+    key,
+    lamp_xyz,
+    light_length,
+    *,
+    n_per_device: int,
+    n_texels: int,
+    sampler: str = "stratified",
+    method: str = "sort",
+    max_clusters: int = 32,
+):
+    """Texel dose-map partials over a 2-D (rays, texels) mesh — the
+    BASELINE config-5 layout (4K dose maps sharded over a pod slice).
+
+    Every (ray-shard, texel-shard) device traces its own photon sub-batch
+    (scene + atlas replicated — a few MB), bins ONLY the texel range it owns,
+    and the partials are `psum`ed over the ray axis. The returned dose-count
+    vector is sharded over `texels` and replicated over `rays`: reductions
+    ride ICI, and no device ever materializes the full 4K map's worth of
+    per-ray scatter traffic.
+    """
+    assert n_texels % mesh.shape[TEXEL_AXIS] == 0, (n_texels, mesh.shape)
+    shard_slots = n_texels // mesh.shape[TEXEL_AXIS]
+
+    def shard_fn(scene, atlas, tri_v0, tri_e1, tri_e2, key, lamp_xyz, light_length):
+        from uvtrace.ops import texel as texel_ops
+
+        ray_id = jax.lax.axis_index(RAY_AXIS)
+        tex_id = jax.lax.axis_index(TEXEL_AXIS)
+        k = jax.random.fold_in(key, ray_id)
+        if sampler == "stratified":
+            rays = gen_ops.generate_stratified(
+                k, n_per_device, lamp_xyz, light_length, packet=min(1024, n_per_device)
+            )
+        else:
+            rays = gen_ops.generate_native(k, n_per_device, lamp_xyz, light_length)
+        t_hit, hit = traverse_clustered(
+            scene, rays.orig, rays.dir, max_clusters=max_clusters
+        )
+        safe = jnp.maximum(hit, 0)
+        u, v = texel_ops.barycentrics(
+            rays.orig, rays.dir, t_hit, tri_v0[safe], tri_e1[safe], tri_e2[safe]
+        )
+        slots = texel_ops.texel_ids(atlas, hit, u, v)
+        # keep only the texel range this shard owns
+        lo = tex_id * shard_slots
+        local = jnp.where((slots >= lo) & (slots < lo + shard_slots), slots - lo, -1)
+        counts = acc_ops.hit_counts(local, shard_slots, method)
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(TEXEL_AXIS),
+    )
+    return fn(scene, atlas, tri_v0, tri_e1, tri_e2, key, lamp_xyz, jnp.float32(light_length))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_per_device", "t_count", "sampler", "method", "max_clusters"),

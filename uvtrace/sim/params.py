@@ -41,6 +41,10 @@ class SimParams:
     # is direct-lighting-only — Report §1.1; BASELINE config 2):
     max_bounces: int = 0  # 0 = reference behavior
     reflectance: float = 0.0  # uniform UV reflectance (RR survival prob)
+    # Texel-resolution dose maps (superset: the reference is per-triangle;
+    # BASELINE configs ask for fixed-resolution dose maps — ops/texel.py):
+    texel_density: float = 0.0  # texels per meter; 0 = per-triangle only
+    texel_max_slots: int = 1 << 22  # atlas budget
 
     def photons_per_light(self, num_lights: int) -> int:
         """Per-lamp launch size: floor division rounded down to even

@@ -34,7 +34,7 @@ from uvtrace.sim.params import SimParams, ViewMode
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces"),
+    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces", "n_texels"),
 )
 def launch_counts(
     scene,
@@ -51,6 +51,11 @@ def launch_counts(
     max_bounces=0,
     normals=None,
     reflectance=None,
+    atlas=None,
+    n_texels=0,
+    tri_v0=None,
+    tri_e1=None,
+    tri_e2=None,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
@@ -65,7 +70,18 @@ def launch_counts(
     """
     n_chunks = max(1, (n + chunk - 1) // chunk)
 
-    def one_chunk(counts, i):
+    def texel_counts_of(orig, direction, t_hit, hit_ids):
+        from uvtrace.ops import texel as texel_ops
+
+        safe = jnp.maximum(hit_ids, 0)
+        u, v = texel_ops.barycentrics(
+            orig, direction, t_hit, tri_v0[safe], tri_e1[safe], tri_e2[safe]
+        )
+        slots = texel_ops.texel_ids(atlas, hit_ids, u, v)
+        return acc_ops.hit_counts(slots, n_texels, method)
+
+    def one_chunk(carry, i):
+        counts, tex_counts = carry
         start = i * chunk
         if sampler == "reference":
             rays = gen_ops.generate_reference(
@@ -87,6 +103,8 @@ def launch_counts(
         valid = start + jnp.arange(chunk) < n
         hit_ids = jnp.where(valid, hit_ids, -1)
         counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
+        if atlas is not None:
+            tex_counts = tex_counts + texel_counts_of(rays.orig, rays.dir, t_hit, hit_ids)
 
         if max_bounces > 0:
             # diffuse interreflection with Russian roulette (ops/bounce.py);
@@ -111,12 +129,18 @@ def launch_counts(
                 t_hit, hit_b = res[0], res[1]
                 hit_ids = jnp.where(alive, hit_b, -1)
                 counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
-        return counts, None
+                if atlas is not None:
+                    tex_counts = tex_counts + texel_counts_of(orig, direction, t_hit, hit_ids)
+        return (counts, tex_counts), None
 
-    counts, _ = jax.lax.scan(
-        one_chunk, jnp.zeros((t_count,), jnp.int32), jnp.arange(n_chunks, dtype=jnp.int32)
+    init = (
+        jnp.zeros((t_count,), jnp.int32),
+        jnp.zeros((n_texels,), jnp.int32) if atlas is not None else jnp.zeros((1,), jnp.int32),
     )
-    return counts
+    (counts, tex_counts), _ = jax.lax.scan(
+        one_chunk, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return counts, tex_counts
 
 
 def _next_pow2(n: int) -> int:
@@ -196,6 +220,17 @@ class Simulator:
                 self._extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
         self.normals = jnp.asarray(mesh.normals)
         self.reflectance = jnp.full((mesh.triangle_count,), params.reflectance, jnp.float32)
+        self.atlas = None
+        if params.texel_density > 0:
+            from uvtrace.ops.texel import build_atlas
+
+            self.atlas = build_atlas(
+                mesh.areas, density=params.texel_density, max_slots=params.texel_max_slots
+            )
+            tris = jnp.asarray(mesh.tris)
+            self._tri_v0 = tris[:, 0]
+            self._tri_e1 = tris[:, 1] - tris[:, 0]
+            self._tri_e2 = tris[:, 2] - tris[:, 0]
         self.reset()
 
     def set_reflectance(self, reflectance):
@@ -217,6 +252,9 @@ class Simulator:
         t = self.triangle_count
         self.photon_map = jnp.zeros((t,), jnp.float32)
         self.max_photon_map = jnp.zeros((t,), jnp.float32)
+        if getattr(self, "atlas", None) is not None:
+            self.photon_map_tex = jnp.zeros((self.atlas.n_slots,), jnp.float32)
+            self.max_photon_map_tex = jnp.zeros((self.atlas.n_slots,), jnp.float32)
         self.photon_map_size = 0
         self.curr_iterations = 0
         self.global_seed = np.uint32(0)  # reference-mode cross-launch SEED
@@ -239,7 +277,7 @@ class Simulator:
             rng_in = jnp.uint32(self.global_seed)
         else:
             self.key, rng_in = jax.random.split(self.key)
-        counts = launch_counts(
+        counts, tex_counts = launch_counts(
             self.scene,
             rng_in,
             lamp_xyz,
@@ -256,10 +294,19 @@ class Simulator:
             max_bounces=self.params.max_bounces,
             normals=self.normals if self.params.max_bounces else None,
             reflectance=self.reflectance if self.params.max_bounces else None,
+            atlas=self.atlas,
+            n_texels=self.atlas.n_slots if self.atlas is not None else 0,
+            tri_v0=self._tri_v0 if self.atlas is not None else None,
+            tri_e1=self._tri_e1 if self.atlas is not None else None,
+            tri_e2=self._tri_e2 if self.atlas is not None else None,
         )
         self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
             self.photon_map, self.max_photon_map, counts, lamp.duration
         )
+        if self.atlas is not None:
+            self.photon_map_tex, self.max_photon_map_tex = acc_ops.accumulate_dose(
+                self.photon_map_tex, self.max_photon_map_tex, tex_counts, lamp.duration
+            )
         if self.params.sampler == "reference":
             self.global_seed = np.uint32(rng_ops.advance_global_seed(lamp_xyz, rng_in))
         self.photon_map_size += n
@@ -311,6 +358,22 @@ class Simulator:
             n = max(1, self.photon_map_size // max(1, len(self.route)))
             scaled_power = self.params.light_intensity * 0.1
         return shade_ops.compute_dosage(src, self.areas, n, scaled_power)
+
+    def dosage_map_texels(self, view: ViewMode = ViewMode.DOSAGE):
+        """Per-texel dose map (requires params.texel_density > 0) in the
+        same units as dosage_map; exact cell areas from the atlas."""
+        from uvtrace.ops.texel import texel_dose
+
+        assert self.atlas is not None, "enable params.texel_density"
+        if view == ViewMode.MAX_POWER:
+            src = self.max_photon_map_tex
+            n = self.photons_per_light
+            scaled_power = self.params.light_intensity * 100.0
+        else:
+            src = self.photon_map_tex
+            n = max(1, self.photon_map_size // max(1, len(self.route)))
+            scaled_power = self.params.light_intensity * 0.1
+        return texel_dose(self.atlas, src, n, scaled_power)
 
     def colors(self, view: ViewMode = ViewMode.DOSAGE, threshold_view: bool = False):
         if view == ViewMode.TEXTURE:
