@@ -120,17 +120,25 @@ def generate_native(key: jax.Array, n: int, light_pos, light_length) -> RayBatch
     return RayBatch(orig=orig, dir=direction)
 
 
-def _stratum_grid(g: int) -> tuple[int, int]:
-    """Factor g packets into a (cos-theta bands) x (azimuth sectors) grid,
-    as square as possible."""
-    gy = max(1, int(np.sqrt(g)))
-    while g % gy:
+def _stratum_grid(g: int, height_bands: int = 1) -> tuple[int, int, int]:
+    """Factor g packets into (rod-height bands) x (cos-theta bands) x
+    (azimuth sectors). Height bands shrink the packet frustum's *origin*
+    spread — the 1 m rod otherwise fattens every packet's footprint and
+    inflates the traversal's cluster visits (PERF.md)."""
+    gh = height_bands
+    # height banding spends strata; keep >=64 direction cells so small
+    # launches don't get fat direction cones
+    while gh > 1 and (g % gh or g // gh < 64):
+        gh //= 2
+    rest = g // gh
+    gy = max(1, int(np.sqrt(rest)))
+    while rest % gy:
         gy -= 1
-    return gy, g // gy
+    return gh, gy, rest // gy
 
 
 def generate_stratified(key: jax.Array, n: int, light_pos, light_length,
-                        packet: int = 1024) -> RayBatch:
+                        packet: int = 1024, height_bands: int = 4) -> RayBatch:
     """Packet-stratified sphere sampler — the TPU-coherent fast path.
 
     The unit sphere (in Lambert cylindrical coordinates: cos-theta = dir_y,
@@ -149,19 +157,22 @@ def generate_stratified(key: jax.Array, n: int, light_pos, light_length,
     """
     assert n % packet == 0, (n, packet)
     g = n // packet
-    gy, gphi = _stratum_grid(g)
+    gh, gy, gphi = _stratum_grid(g, height_bands=height_bands)
     ku, ky, kp = jax.random.split(key, 3)
     lp = jnp.asarray(light_pos, jnp.float32)
     lx, ly, lz = lp[0], lp[1], lp[2]
 
-    u_height = jax.random.uniform(ku, (n,), dtype=jnp.float32)
+    cell = jnp.arange(n, dtype=jnp.int32) // packet
+    ih = (cell // (gy * gphi)).astype(jnp.float32)
+    iy = ((cell // gphi) % gy).astype(jnp.float32)
+    ip = (cell % gphi).astype(jnp.float32)
+
+    uh = jax.random.uniform(ku, (n,), dtype=jnp.float32)
+    u_height = (ih + uh) / gh
     orig = jnp.stack(
         [jnp.full((n,), lx), ly + u_height * jnp.float32(light_length), jnp.full((n,), lz)],
         axis=-1,
     )
-    cell = jnp.arange(n, dtype=jnp.int32) // packet
-    iy = (cell // gphi).astype(jnp.float32)
-    ip = (cell % gphi).astype(jnp.float32)
     uy = jax.random.uniform(ky, (n,), dtype=jnp.float32)
     up = jax.random.uniform(kp, (n,), dtype=jnp.float32)
     dir_y = -1.0 + 2.0 * (iy + uy) / gy

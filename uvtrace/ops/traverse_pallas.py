@@ -356,6 +356,7 @@ def traverse_pallas_queued(
     lamp_xyz,
     light_length,
     max_candidates: int = 32,
+    height_bands: int = 4,
     interpret: bool = False,
     **_,
 ):
@@ -374,7 +375,7 @@ def traverse_pallas_queued(
     r = orig.shape[0]
     assert r % PACKET == 0, (r, PACKET)
     g_total = r // PACKET
-    gy, gphi = _stratum_grid(g_total)
+    gh, gy, gphi = _stratum_grid(g_total, height_bands=height_bands)
     queue, entry, counts = stratum_candidates(
         scene.box_min,
         scene.box_max,
@@ -384,6 +385,12 @@ def traverse_pallas_queued(
         gphi,
         max_candidates=max_candidates,
     )
+    if gh > 1:
+        # height-banded cells repeat the (y, phi) grid gh times (conservative
+        # w.r.t. the full rod; cells are ordered height-major)
+        queue = jnp.tile(queue, (gh, 1))
+        entry = jnp.tile(entry, (gh, 1))
+        counts = jnp.tile(counts, (gh,))
     o3 = orig.reshape(g_total, PACKET, 3)
     d3 = direction.reshape(g_total, PACKET, 3)
     t, hit = _traverse_queued_padded(
