@@ -98,7 +98,7 @@ def build_pallas_scene(cs: ClusteredScene) -> PallasScene:
     )
 
 
-def _mt_columns(o, d, tile, cid, t_out, slot_out):
+def _mt_columns(o, d, tile, cid, t_out, slot_out, col_flags=None):
     """Intersect a 1024-ray packet against one cluster tile (16,128) and merge
     into the packet state refs t_out/slot_out (block (1,8,128)).
 
@@ -107,11 +107,16 @@ def _mt_columns(o, d, tile, cid, t_out, slot_out):
     Möller–Trumbore (reference semantics, cl/extend.cl:6-27) on an
     (8 rays x 128 triangles) tile — ray components are (8,1) columns,
     triangle components (1,128) rows; both broadcast natively on the VPU.
+
+    col_flags: optional (1,128) SMEM ref of per-column activity flags (any of
+    the column's 8 rays can still be improved by this cluster) — inactive
+    columns skip the whole MT body via `pl.when`.
     """
     v0x, v0y, v0z = tile[0:1], tile[1:2], tile[2:3]
     e1x, e1y, e1z = tile[3:4], tile[4:5], tile[5:6]
     e2x, e2y, e2z = tile[6:7], tile[7:8], tile[8:9]
-    for g in range(128):
+
+    def column(g):
         cox = o[0][:, g : g + 1]
         coy = o[1][:, g : g + 1]
         coz = o[2][:, g : g + 1]
@@ -149,8 +154,15 @@ def _mt_columns(o, d, tile, cid, t_out, slot_out):
         t_out[0, :, g : g + 1] = jnp.where(better, col_t, cur_t)
         slot_out[0, :, g : g + 1] = jnp.where(better, cid * 128 + col_arg, cur_s)
 
+    for g in range(128):
+        if col_flags is None:
+            column(g)
+        else:
+            pl.when(col_flags[0, g] > 0)(lambda g=g: column(g))
 
-def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_out, stack):
+
+def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_out,
+            stack, vflags, sflags, dma_sem):
     o = (ox[0], oy[0], oz[0])
     d = (dx[0], dy[0], dz[0])
     inv = tuple(1.0 / jnp.where(c == 0.0, jnp.float32(1e-30), c) for c in d)
@@ -168,8 +180,18 @@ def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_ou
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         return tmin, (tmax >= tmin) & (tmax > 0)
 
-    def intersect_cluster(cid):
-        _mt_columns(o, d, tri_ref[cid], cid, t_out, slot_out)
+    def intersect_cluster(node, cid):
+        # per-column activity mask: a column (8 rays) participates only if
+        # some ray both enters this cluster's box and could improve its best
+        # hit; inactive columns skip the whole MT body. The (1,128) vector
+        # mask crosses to the scalar domain with one VMEM->SMEM DMA.
+        tmin, m = aabb(node)
+        act = m & (tmin < t_out[0])
+        vflags[:] = jnp.any(act, axis=0, keepdims=True).astype(jnp.int32)
+        cp = pltpu.make_async_copy(vflags, sflags, dma_sem)
+        cp.start()
+        cp.wait()
+        _mt_columns(o, d, tri_ref[cid], cid, t_out, slot_out, col_flags=sflags)
 
     def body(carry):
         sp, t_ub = carry
@@ -178,7 +200,7 @@ def _kernel(node_box, node_meta, ox, oy, oz, dx, dy, dz, tri_ref, t_out, slot_ou
         is_leaf = node_meta[node * 2 + 1] == 1
 
         def leaf_case(sp, t_ub):
-            intersect_cluster(node_meta[node * 2])
+            intersect_cluster(node, node_meta[node * 2])
             return sp, jnp.max(t_out[0])  # packet bound tightens after leaves
 
         def inner_case(sp, t_ub):
@@ -246,7 +268,12 @@ def _traverse_pallas_padded(scene: PallasScene, o3, d3, interpret=False):
             jax.ShapeDtypeStruct((g_total, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((g_total, 8, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SMEM((1, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(scene.node_box, scene.node_meta, *comps, scene.tri)
     # back to ray-linear order, map padded slots to original ids
