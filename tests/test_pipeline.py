@@ -170,3 +170,15 @@ def test_inverse_square_falloff():
         doses.append(float(np.asarray(sim.dosage_map(ViewMode.MAX_POWER)).mean()))
     ratio = doses[0] / doses[1]
     assert 3.0 < ratio < 5.5, ratio
+
+
+def test_route_editing(room):
+    sim = Simulator(room, PARAMS, route=[LightPos(0, 0, 10.0)])
+    ppl_before = sim.photons_per_light
+    sim.add_lamp(1.0, 1.0, 20.0)
+    assert len(sim.route) == 2
+    assert sim.photons_per_light <= ppl_before  # budget rebalances
+    sim.move_lamp(1, -1.0, 0.5)
+    assert sim.route[1].x == -1.0 and sim.route[1].duration == 20.0
+    sim.delete_lamp(0)
+    assert len(sim.route) == 1 and sim.route[0].x == -1.0

@@ -233,6 +233,22 @@ class Simulator:
             self._tri_e2 = tris[:, 2] - tris[:, 0]
         self.reset()
 
+    # ------------------------------------------------------------ route edit
+
+    def add_lamp(self, x: float = 0.0, y: float = 0.0, duration: float = 1.0):
+        """RayTracer::AddLamp (raytracer.cpp:3-10): append a waypoint (the
+        per-lamp photon budget rebalances automatically)."""
+        self.route.append(LightPos(x, y, duration))
+
+    def move_lamp(self, index: int, x: float, y: float):
+        """Lamp repositioning (UserInterface::MoveLightPos,
+        userinterface.cpp:410-431)."""
+        self.route[index] = LightPos(x, y, self.route[index].duration)
+
+    def delete_lamp(self, index: int):
+        """Waypoint deletion (route list UI, userinterface.cpp:152-191)."""
+        del self.route[index]
+
     def set_reflectance(self, reflectance):
         """Per-triangle UV reflectance (RR survival probability) for
         multi-bounce mode; scalar or float32[T]."""
