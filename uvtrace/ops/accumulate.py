@@ -72,6 +72,18 @@ def hit_counts(hit_ids: jax.Array, num_bins: int, method: str = "sort") -> jax.A
     return _METHODS[method](hit_ids, num_bins)
 
 
+def slots_to_tri(counts_slots: jax.Array, slot_map: jax.Array, t_count: int) -> jax.Array:
+    """Remap padded-cluster-slot counts to original-triangle counts.
+
+    slot_map[s] is the original id of slot s (-1 for cluster padding);
+    it is injective over valid slots, so this is a 67k-bin permutation-add —
+    done ONCE per launch instead of a 1-per-ray id gather (which costs ~16 ms
+    per 2^20 rays on TPU; counting in slot space keeps the hot loop gather-free).
+    """
+    seg = jnp.where(slot_map < 0, t_count, slot_map)
+    return jax.ops.segment_sum(counts_slots, seg, num_segments=t_count + 1)[:t_count]
+
+
 def accumulate_dose(photon_map, max_photon_map, counts, time_step):
     """One accumulate step (cl/accumulate.cl:4-14).
 

@@ -1,0 +1,290 @@
+"""MXU cluster-intersection kernel — extend-stage fast path, generation 2.
+
+Two ideas replace the packet-DFS VPU kernel (traverse_pallas.py):
+
+1. MXU Möller–Trumbore. Every ray-triangle quantity MT needs is a 3x3
+   determinant, and determinants are LINEAR in a small per-ray feature
+   vector. With Plücker coordinates (d, m = o x d) the three edge-side tests
+   and the plane-equation t numerator are all dot products
+
+       side_i = d . (a_i x b_i)  +  m . (b_i - a_i)     (edge a_i -> b_i)
+       t_num  = n . v0  -  n . o                         (n = geometric normal)
+       t_den  = side_0 + side_1 + side_2 = n . d         (exact identity)
+
+   so intersecting a whole 1024-ray packet against a whole 128-triangle
+   cluster is ONE matmul  feat[cid] (16,512) x rfeat (16,1024)  on the MXU
+   plus a short VPU epilogue (sign agreement + eps tests + min/argmin).
+
+2. Scan-and-extract traversal (no tree). The scene has only a few hundred
+   clusters, so the packet frustum (conservative interval arithmetic over the
+   packet's origin/direction bounds) is slab-tested against ALL cluster AABBs
+   in one vectorized pass; a selection loop then extracts candidate clusters
+   in near-to-far entry order, crosses them to the scalar domain with one
+   VMEM->SMEM DMA per batch, and a scalar loop visits leaves until the packet
+   upper bound (max over rays of current best t) rules the rest out. This
+   removed a 44 us/packet scalar DFS (measured): per-node scalar<->vector
+   round trips are gone; the vector units only ever see leaf work.
+
+Semantics match cl/extend.cl:6-27 (Möller–Trumbore with |det| >= 1e-5
+parallel rejection and t > 1e-4 near clip): sum(sides) equals MT's
+determinant exactly, the sign test is MT's 0 <= u, v, u+v <= 1, and
+t = t_num/t_den is the same plane intersection MT computes. Closest hit is an
+order-independent min => deterministic and atomic-free (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uvtrace.ops.cluster import ClusteredScene
+
+BIG = np.float32(1e30)
+PACKET = 1024
+NFEAT = 16  # d(3), m=o x d(3), o(3), 1; padded to a sublane multiple
+KBATCH = 32  # candidates extracted per vector->scalar crossing
+
+
+class MxuScene(NamedTuple):
+    """Device arrays for the MXU traversal (pytree)."""
+
+    boxes: jax.Array  # f32[6, 8, L8] cluster AABBs: rows min.xyz,max.xyz;
+    #                   cluster c lives at (c // L8, c % L8); pads = +BIG
+    feat: jax.Array  # f32[L, NFEAT, 512] per-cluster feature tiles (below)
+    tri_idx_flat: jax.Array  # i32[L*128] padded slot -> original tri id (-1)
+
+
+def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
+    """Host-side: padded AABB planes + per-cluster Plücker feature tiles.
+
+    feat[l, :, q*128 + j] is the 16-coefficient vector of quantity q for the
+    cluster's j-th triangle; rows are the ray-feature basis
+    [dx,dy,dz, mx,my,mz, ox,oy,oz, 1, 0...]. Quantities: q=0,1,2 the edge
+    side tests, q=3 the t numerator. Padded (degenerate) triangles are all
+    zeros -> sum(sides)=0 -> rejected by the |den| >= 1e-5 test.
+    """
+    assert cs.cluster_size == 128, "mxu kernel is specialized to C=128"
+    l_count = cs.n_clusters
+    l8 = max(1, -(-l_count // 8))
+    boxes = np.full((6, 8 * l8), BIG, np.float32)
+    boxes[0:3, :l_count] = cs.box_min.T
+    boxes[3:6, :l_count] = cs.box_max.T
+    boxes = boxes.reshape(6, 8, l8)
+
+    a = cs.tris[:, :, 0].astype(np.float64)  # [L,128,3] f64 for feature prep
+    b = cs.tris[:, :, 1].astype(np.float64)
+    c = cs.tris[:, :, 2].astype(np.float64)
+    n = np.cross(b - a, c - a)  # geometric normal (unnormalized)
+    feat = np.zeros((l_count, NFEAT, 4, 128), np.float32)
+    for q, (edge_a, edge_b) in enumerate(((a, b), (b, c), (c, a))):
+        feat[:, 0:3, q] = np.moveaxis(np.cross(edge_a, edge_b), 2, 1)  # . d
+        feat[:, 3:6, q] = np.moveaxis(edge_b - edge_a, 2, 1)  # . m
+    feat[:, 6:9, 3] = np.moveaxis(-n, 2, 1)  # . o
+    feat[:, 9, 3] = np.einsum("ljk,ljk->lj", n, a)  # n . v0
+    return MxuScene(
+        boxes=jnp.asarray(boxes),
+        feat=jnp.asarray(feat.reshape(l_count, NFEAT, 512)),
+        tri_idx_flat=jnp.asarray(cs.tri_idx.reshape(-1)),
+    )
+
+
+def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibuf_s, sems):
+    t_out[0] = jnp.full((1, PACKET), BIG)
+    slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
+    l8 = boxes.shape[2]
+
+    # ---- phase 1: frustum vs ALL cluster AABBs, one vector pass -----------
+    # Conservative interval slab test: the t-interval of plane x=p over the
+    # packet is (p - O) * INV with O the origin interval and INV the inverse
+    # direction interval; a slab's interval is the hull over both planes, and
+    # intersecting the three slab intervals bounds every ray's [entry, exit].
+    # An axis whose direction interval spans 0 contributes the full line.
+    entry = jnp.full((8, l8), -BIG)
+    exit_ = jnp.full((8, l8), BIG)
+    for ax in range(3):
+        o_lo, o_hi = pb[0, 0, ax], pb[0, 0, 3 + ax]
+        d_lo, d_hi = pb[0, 0, 6 + ax], pb[0, 0, 9 + ax]
+        spans = jnp.logical_and(d_lo <= 0.0, d_hi >= 0.0)
+        i_lo = 1.0 / jnp.where(spans, jnp.float32(1.0), d_hi)
+        i_hi = 1.0 / jnp.where(spans, jnp.float32(1.0), d_lo)
+        g_lo = boxes[ax] - o_hi  # (8, l8): hull of (box - O) over both planes
+        g_hi = boxes[3 + ax] - o_lo
+        p1, p2 = g_lo * i_lo, g_lo * i_hi
+        p3, p4 = g_hi * i_lo, g_hi * i_hi
+        s_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        s_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        s_lo = jnp.where(spans, jnp.float32(-BIG), s_lo)
+        s_hi = jnp.where(spans, jnp.float32(BIG), s_hi)
+        entry = jnp.maximum(entry, s_lo)
+        exit_ = jnp.minimum(exit_, s_hi)
+    may_hit = jnp.logical_and(entry <= exit_, exit_ > 0.0)
+    idx2d = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, l8), 0) * l8
+        + jax.lax.broadcasted_iota(jnp.int32, (8, l8), 1)
+    )
+    # pad slots (idx >= real cluster count) MUST stay at BIG: when every
+    # direction axis spans 0 the slab test degenerates to "always hit", and a
+    # visited pad cluster would read feat[] out of bounds (garbage hits)
+    may_hit = jnp.logical_and(may_hit, idx2d < feat.shape[0])
+    cand0 = jnp.where(may_hit, jnp.maximum(entry, 0.0), BIG)  # (8, l8)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, KBATCH), 1)
+    rf = rfeat[0]  # (NFEAT, PACKET)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (128, PACKET), 0)
+
+    def leaf(cid, t_ub):
+        q = jax.lax.dot_general(
+            feat[cid],
+            rf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (512, PACKET)
+        s0, s1, s2, tn = q[0:128], q[128:256], q[256:384], q[384:512]
+        den = s0 + s1 + s2  # == n . d (exact identity)
+        mn = jnp.minimum(jnp.minimum(s0, s1), s2)
+        mx = jnp.maximum(jnp.maximum(s0, s1), s2)
+        # all sides share a sign (edge-inclusive) <=> min*max >= 0
+        ok = (mn * mx >= 0.0) & (jnp.abs(den) >= 1e-5)
+        t = tn / jnp.where(den == 0.0, jnp.float32(1.0), den)
+        t = jnp.where(ok & (t > 1e-4), t, BIG)
+        tmin = jnp.min(t, axis=0, keepdims=True)  # (1, PACKET)
+        arg = jnp.min(
+            jnp.where(t <= tmin, row_id, jnp.int32(1 << 30)), axis=0, keepdims=True
+        )
+        cur = t_out[0]
+        better = tmin < cur
+        slot_out[0] = jnp.where(better, cid * 128 + arg, slot_out[0])
+        t_out[0] = jnp.where(better, tmin, cur)
+        return jnp.max(t_out[0])  # packet bound tightens after leaves
+
+    # ---- phase 2: near-ordered extraction + scalar visit loop -------------
+    def batch(carry):
+        cand, t_ub, _more = carry
+
+        def extract(k, cand):
+            m = jnp.min(cand)
+            am = jnp.min(jnp.where(cand <= m, idx2d, jnp.int32(1 << 30)))
+            sel = kiota == k
+            ebuf_v[:, :] = jnp.where(sel, m, ebuf_v[:, :])
+            ibuf_v[:, :] = jnp.where(sel, am, ibuf_v[:, :])
+            return jnp.where(idx2d == am, BIG, cand)
+
+        cand = jax.lax.fori_loop(0, KBATCH, extract, cand)
+        cp0 = pltpu.make_async_copy(ebuf_v, ebuf_s, sems.at[0])
+        cp1 = pltpu.make_async_copy(ibuf_v, ibuf_s, sems.at[1])
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+
+        def visit_cond(c):
+            j, t_ub = c
+            return jnp.logical_and(j < KBATCH, ebuf_s[0, jnp.minimum(j, KBATCH - 1)] < t_ub)
+
+        def visit(c):
+            j, t_ub = c
+            return j + 1, leaf(ibuf_s[0, j], t_ub)
+
+        j, t_ub = jax.lax.while_loop(visit_cond, visit, (jnp.int32(0), t_ub))
+        # all KBATCH consumed and the farthest still mattered => maybe more.
+        # i32 carry, not bool: a bool while-carry miscompiled here (Mosaic
+        # produced all-miss results for the all-axes-span frustum case).
+        more = jnp.logical_and(j == KBATCH, ebuf_s[0, KBATCH - 1] < jnp.minimum(t_ub, BIG))
+        return cand, t_ub, more.astype(jnp.int32)
+
+    jax.lax.while_loop(lambda c: c[2] > 0, batch, (cand0, BIG, jnp.int32(1)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False):
+    """o3/d3: f32[G, 1024, 3] packet-major rays."""
+    g_total = o3.shape[0]
+    m3 = jnp.cross(o3, d3)
+    rfeat = jnp.concatenate(
+        [
+            d3,
+            m3,
+            o3,
+            jnp.ones((g_total, PACKET, 1), jnp.float32),
+            jnp.zeros((g_total, PACKET, NFEAT - 10), jnp.float32),
+        ],
+        axis=2,
+    ).swapaxes(1, 2)  # (G, NFEAT, PACKET); ray r of packet g = column r
+    pbounds = jnp.concatenate(
+        [
+            jnp.min(o3, axis=1),
+            jnp.max(o3, axis=1),
+            jnp.min(d3, axis=1),
+            jnp.max(d3, axis=1),
+            jnp.zeros((g_total, 4), jnp.float32),
+        ],
+        axis=1,
+    ).reshape(g_total, 1, 16)
+
+    t, slot = pl.pallas_call(
+        _kernel,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
+            pl.BlockSpec((1, NFEAT, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # feat tiles, fully resident
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, KBATCH), jnp.float32),
+            pltpu.VMEM((1, KBATCH), jnp.int32),
+            pltpu.SMEM((1, KBATCH), jnp.float32),
+            pltpu.SMEM((1, KBATCH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pbounds, scene.boxes, rfeat, scene.feat)
+    t = t.reshape(g_total * PACKET)
+    slot = slot.reshape(g_total * PACKET)
+    slot = jnp.where(t >= BIG, -1, slot)
+    return t, slot
+
+
+def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False, **_):
+    """Closest-hit via the MXU cluster-intersection kernel (works for ANY
+    rays, coherent or not — incoherent packets degrade to visiting more
+    clusters, never to wrong results).
+
+    orig/direction: f32[R,3], R a multiple of 1024.
+    Returns (t, hit_original_ids); miss => (1e30, -1).
+
+    Note: mapping slots to original ids is a 1-per-ray gather — slow on TPU
+    (~16 ms per 2^20 rays, measured). Histogram-bound callers should use
+    `traverse_mxu_slots` and remap at the bin level (slots_to_tri).
+    """
+    t, slot = traverse_mxu_slots(scene, orig, direction, interpret=interpret)
+    hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
+    return t, hit
+
+
+def traverse_mxu_slots(scene: MxuScene, orig, direction, *, interpret: bool = False, **_):
+    """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*128 + lane)
+    instead of original triangle ids — no per-ray gather. miss => slot -1.
+    Slot s maps to original id scene.tri_idx_flat[s]."""
+    r = orig.shape[0]
+    assert r % PACKET == 0, (r, PACKET)
+    o3 = orig.reshape(r // PACKET, PACKET, 3)
+    d3 = direction.reshape(r // PACKET, PACKET, 3)
+    return _traverse_mxu_padded(scene, o3, d3, interpret=interpret)

@@ -34,8 +34,9 @@ class SimParams:
 
     # Framework knobs (no reference equivalent):
     sampler: str = "native"  # "native" | "stratified" | "reference"
-    accumulate_method: str = "sort"  # see ops/accumulate.py
-    traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas"
+    accumulate_method: str = "segment"  # see ops/accumulate.py (segment ~10x
+    #   faster than sort on TPU for 2^20 rays -> 45k bins, measured)
+    traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas" | "mxu"
     seed: int = 0
     # Multi-bounce diffuse interreflection (superset of the reference, which
     # is direct-lighting-only — Report §1.1; BASELINE config 2):

@@ -56,6 +56,7 @@ def launch_counts(
     tri_v0=None,
     tri_e1=None,
     tri_e2=None,
+    slot_map=None,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
@@ -66,9 +67,16 @@ def launch_counts(
 
     rng_in: PRNGKey (uint32 SEED for sampler='reference').
     lamp_xyz / light_length are traced so waypoint moves don't recompile.
-    extend_fn(scene, orig, dir) -> (t, hit_original_ids).
+    extend_fn(scene, orig, dir) -> (t, hit_original_ids) — or (t, slots) when
+    slot_map is given: the hot loop then histograms in padded-slot space
+    (gather-free) and remaps slot bins to triangles once at the end
+    (acc_ops.slots_to_tri).
     """
     n_chunks = max(1, (n + chunk - 1) // chunk)
+    # bounce/texel modes need original ids per ray anyway; pure direct
+    # lighting counts in padded-slot space and remaps bins once at the end
+    slot_space = slot_map is not None and atlas is None and max_bounces == 0
+    n_bins = slot_map.shape[0] if slot_space else t_count
 
     def texel_counts_of(orig, direction, t_hit, hit_ids):
         from uvtrace.ops import texel as texel_ops
@@ -99,10 +107,13 @@ def launch_counts(
             scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
         )
         t_hit, hit_ids = res[0], res[1]
+        if slot_map is not None and not slot_space:
+            # bounce/texel geometry lookups need original ids (per-ray gather)
+            hit_ids = jnp.where(hit_ids >= 0, slot_map[jnp.maximum(hit_ids, 0)], -1)
         # mask rays beyond n in the last (padded) chunk
         valid = start + jnp.arange(chunk) < n
         hit_ids = jnp.where(valid, hit_ids, -1)
-        counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
+        counts = counts + acc_ops.hit_counts(hit_ids, n_bins, method)
         if atlas is not None:
             tex_counts = tex_counts + texel_counts_of(rays.orig, rays.dir, t_hit, hit_ids)
 
@@ -127,6 +138,8 @@ def launch_counts(
                     scene, orig, direction, lamp_xyz=lamp_xyz, light_length=light_length
                 )
                 t_hit, hit_b = res[0], res[1]
+                if slot_map is not None:
+                    hit_b = jnp.where(hit_b >= 0, slot_map[jnp.maximum(hit_b, 0)], -1)
                 hit_ids = jnp.where(alive, hit_b, -1)
                 counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
                 if atlas is not None:
@@ -134,12 +147,14 @@ def launch_counts(
         return (counts, tex_counts), None
 
     init = (
-        jnp.zeros((t_count,), jnp.int32),
+        jnp.zeros((n_bins,), jnp.int32),
         jnp.zeros((n_texels,), jnp.int32) if atlas is not None else jnp.zeros((1,), jnp.int32),
     )
     (counts, tex_counts), _ = jax.lax.scan(
         one_chunk, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
+    if slot_space:
+        counts = acc_ops.slots_to_tri(counts, slot_map, t_count)
     return counts, tex_counts
 
 
@@ -178,10 +193,11 @@ class Simulator:
 
         backend = params.traversal
         if backend == "auto":
-            backend = "clustered"
+            backend = "mxu" if jax.default_backend() == "tpu" else "clustered"
         if bvh is not None:
             backend = "jax"
         self.backend = backend
+        self._slot_map = None
 
         # prefer the native C++ builder when the toolchain is present
         from uvtrace.bvh import native as native_builder
@@ -208,7 +224,15 @@ class Simulator:
                 )
             else:
                 self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
-            if backend == "pallas":
+            if backend == "mxu":
+                from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_slots
+
+                self.scene = build_mxu_scene(self.clusters)
+                self._extend = traverse_mxu_slots
+                self._slot_map = self.scene.tri_idx_flat
+                # the kernel consumes whole 1024-ray packets
+                self.ray_chunk = max(1024, self.ray_chunk)
+            elif backend == "pallas":
                 from uvtrace.ops.traverse_pallas import build_pallas_scene, traverse_pallas
 
                 self.scene = build_pallas_scene(self.clusters)
@@ -293,6 +317,16 @@ class Simulator:
             rng_in = jnp.uint32(self.global_seed)
         else:
             self.key, rng_in = jax.random.split(self.key)
+        chunk = max(
+            1024 if self.backend in ("pallas", "mxu") else 1,
+            min(self.ray_chunk, _next_pow2(n)),
+        )
+        if self.params.sampler == "stratified":
+            # stratified cells tile whole chunks; a masked tail would drop
+            # specific strata and bias the sphere coverage — trace whole
+            # chunks instead and normalize by the true count (photon_map_size)
+            n = -(-n // chunk) * chunk
+        self._launch_n = n
         counts, tex_counts = launch_counts(
             self.scene,
             rng_in,
@@ -300,10 +334,7 @@ class Simulator:
             jnp.float32(self.params.light_length),
             t_count=self.triangle_count,
             n=n,
-            chunk=max(
-                1024 if self.backend == "pallas" else 1,
-                min(self.ray_chunk, _next_pow2(n)),
-            ),
+            chunk=chunk,
             sampler=self.params.sampler,
             method=self.params.accumulate_method,
             extend_fn=self._extend,
@@ -315,6 +346,7 @@ class Simulator:
             tri_v0=self._tri_v0 if self.atlas is not None else None,
             tri_e1=self._tri_e1 if self.atlas is not None else None,
             tri_e2=self._tri_e2 if self.atlas is not None else None,
+            slot_map=self._slot_map,
         )
         self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
             self.photon_map, self.max_photon_map, counts, lamp.duration
@@ -367,7 +399,7 @@ class Simulator:
         MAX_POWER: peak irradiance in µW/cm^2 (scaled_power = I*100)."""
         if view == ViewMode.MAX_POWER:
             src = self.max_photon_map
-            n = self.photons_per_light
+            n = getattr(self, "_launch_n", 0) or self.photons_per_light
             scaled_power = self.params.light_intensity * 100.0
         else:
             src = self.photon_map
@@ -383,7 +415,7 @@ class Simulator:
         assert self.atlas is not None, "enable params.texel_density"
         if view == ViewMode.MAX_POWER:
             src = self.max_photon_map_tex
-            n = self.photons_per_light
+            n = getattr(self, "_launch_n", 0) or self.photons_per_light
             scaled_power = self.params.light_intensity * 100.0
         else:
             src = self.photon_map_tex
