@@ -56,10 +56,15 @@ def main():
     if backend in ("mxu", "pallas") and jax.default_backend() == "cpu":
         backend = "clustered"
     if backend == "mxu":
+        import functools
+
         from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_slots
 
         scene = build_mxu_scene(cs)
-        extend = traverse_mxu_slots
+        extend = functools.partial(
+            traverse_mxu_slots,
+            precision=os.environ.get("UVTRACE_BENCH_PRECISION", "high"),
+        )
         slot_map = scene.tri_idx_flat
         n_bins = int(slot_map.shape[0])
     elif backend == "pallas":

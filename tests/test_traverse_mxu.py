@@ -52,6 +52,18 @@ def test_single_cluster_scene():
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), rtol=1e-5)
 
 
+def test_high_precision_tier(mxu_scene):
+    """bf16x3 production tier: tiny t noise, ~all hits still agree."""
+    room, ms = mxu_scene
+    rays = generate_stratified(jax.random.PRNGKey(2), 2048, (0.0, 0.2, 0.0), 1.0)
+    t, hit = traverse_mxu(ms, rays.orig, rays.dir, interpret=True, precision="high")
+    t_ref, id_ref = brute_force_closest_hit(rays.orig, rays.dir, jnp.asarray(room.tris))
+    t, hit, t_ref, id_ref = map(np.asarray, (t, hit, t_ref, id_ref))
+    assert (hit == id_ref).mean() > 0.995
+    same = hit == id_ref
+    np.testing.assert_allclose(t[same], t_ref[same], rtol=5e-3)
+
+
 def test_slot_space_counts_match_id_space(mxu_scene):
     """Gather-free slot-space histogram + bin remap == id-space histogram."""
     room, ms = mxu_scene

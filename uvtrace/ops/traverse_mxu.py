@@ -94,7 +94,8 @@ def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
     )
 
 
-def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibuf_s, sems):
+def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibuf_s, sems,
+            *, precision):
     t_out[0] = jnp.full((1, PACKET), BIG)
     slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
     l8 = boxes.shape[2]
@@ -137,14 +138,30 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
     rf = rfeat[0]  # (NFEAT, PACKET)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (128, PACKET), 0)
 
+    dot_kw = dict(
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if precision == "high":
+        # manual bf16x3: Mosaic exposes only DEFAULT (1 bf16 pass) and
+        # HIGHEST (6 passes); three single-pass products on hi/lo splits give
+        # ~2^-16-of-magnitude absolute accuracy at half the HIGHEST cost
+        r_hi = rf.astype(jnp.bfloat16)
+        r_lo = (rf - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     def leaf(cid, t_ub):
-        q = jax.lax.dot_general(
-            feat[cid],
-            rf,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (512, PACKET)
+        fc = feat[cid]
+        if precision == "high":
+            f_hi = fc.astype(jnp.bfloat16)
+            f_lo = (fc - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            q = (
+                jax.lax.dot_general(f_hi, r_hi, **dot_kw)
+                + jax.lax.dot_general(f_hi, r_lo, **dot_kw)
+                + jax.lax.dot_general(f_lo, r_hi, **dot_kw)
+            )
+        else:
+            q = jax.lax.dot_general(fc, rf, precision=precision, **dot_kw)
+        # (512, PACKET)
         s0, s1, s2, tn = q[0:128], q[128:256], q[256:384], q[384:512]
         den = s0 + s1 + s2  # == n . d (exact identity)
         mn = jnp.minimum(jnp.minimum(s0, s1), s2)
@@ -201,9 +218,14 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
     jax.lax.while_loop(lambda c: c[2] > 0, batch, (cand0, BIG, jnp.int32(1)))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest"):
     """o3/d3: f32[G, 1024, 3] packet-major rays."""
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": "high",
+        "fast": jax.lax.Precision.DEFAULT,
+    }[precision]
     g_total = o3.shape[0]
     m3 = jnp.cross(o3, d3)
     rfeat = jnp.concatenate(
@@ -228,7 +250,7 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False):
     ).reshape(g_total, 1, 16)
 
     t, slot = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=prec),
         grid=(g_total,),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -262,7 +284,8 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False):
     return t, slot
 
 
-def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False, **_):
+def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
+                 precision: str = "highest", **_):
     """Closest-hit via the MXU cluster-intersection kernel (works for ANY
     rays, coherent or not — incoherent packets degrade to visiting more
     clusters, never to wrong results).
@@ -274,17 +297,31 @@ def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False, *
     (~16 ms per 2^20 rays, measured). Histogram-bound callers should use
     `traverse_mxu_slots` and remap at the bin level (slots_to_tri).
     """
-    t, slot = traverse_mxu_slots(scene, orig, direction, interpret=interpret)
+    t, slot = traverse_mxu_slots(scene, orig, direction, interpret=interpret,
+                                 precision=precision)
     hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
     return t, hit
 
 
-def traverse_mxu_slots(scene: MxuScene, orig, direction, *, interpret: bool = False, **_):
+def traverse_mxu_slots(
+    scene: MxuScene,
+    orig,
+    direction,
+    *,
+    interpret: bool = False,
+    precision: str = "highest",
+    **_,
+):
     """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*128 + lane)
     instead of original triangle ids — no per-ray gather. miss => slot -1.
-    Slot s maps to original id scene.tri_idx_flat[s]."""
+    Slot s maps to original id scene.tri_idx_flat[s].
+
+    precision: "highest" (f32-faithful MXU passes, exact vs the oracle) or
+    "fast" (single bf16 pass; ~0.4% relative t noise and edge-band hit
+    reassignments — statistically unbiased for dose, same spirit as the
+    reference's -cl-fast-relaxed-math build flag, template.cpp:1192)."""
     r = orig.shape[0]
     assert r % PACKET == 0, (r, PACKET)
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
-    return _traverse_mxu_padded(scene, o3, d3, interpret=interpret)
+    return _traverse_mxu_padded(scene, o3, d3, interpret=interpret, precision=precision)

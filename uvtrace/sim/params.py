@@ -37,6 +37,10 @@ class SimParams:
     accumulate_method: str = "segment"  # see ops/accumulate.py (segment ~10x
     #   faster than sort on TPU for 2^20 rays -> 45k bins, measured)
     traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas" | "mxu"
+    precision: str = "high"  # mxu kernel matmul tier: "highest" (f32-exact,
+    #   what the tests/goldens use) | "high" (bf16x3: 0.006% hit reassignment,
+    #   ~8x below MC noise at default photon counts; 1.3x faster) | "fast"
+    #   (single bf16 pass: preview quality)
     seed: int = 0
     # Multi-bounce diffuse interreflection (superset of the reference, which
     # is direct-lighting-only — Report §1.1; BASELINE config 2):

@@ -228,7 +228,9 @@ class Simulator:
                 from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_slots
 
                 self.scene = build_mxu_scene(self.clusters)
-                self._extend = traverse_mxu_slots
+                self._extend = functools.partial(
+                    traverse_mxu_slots, precision=params.precision
+                )
                 self._slot_map = self.scene.tri_idx_flat
                 # the kernel consumes whole 1024-ray packets
                 self.ray_chunk = max(1024, self.ray_chunk)
