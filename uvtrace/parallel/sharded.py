@@ -43,11 +43,19 @@ def make_ray_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_per_device", "t_count", "sampler", "method", "max_clusters"),
+    static_argnames=(
+        "mesh",
+        "n_per_device",
+        "t_count",
+        "sampler",
+        "method",
+        "max_clusters",
+        "extend_fn",
+    ),
 )
 def sharded_launch_counts(
     mesh: Mesh,
-    scene: ClusterArrays,
+    scene,
     key,
     lamp_xyz,
     light_length,
@@ -55,14 +63,25 @@ def sharded_launch_counts(
     n_per_device: int,
     t_count: int,
     sampler: str = "stratified",
-    method: str = "sort",
+    method: str = "segment",
     max_clusters: int = 32,
+    extend_fn=None,
+    slot_map=None,
 ):
     """Replicated int32[t_count] hit counts for n_per_device x |mesh| photons.
 
     One generate->traverse->histogram->psum step, shard_mapped over the ray
     axis. The scene rides in replicated; XLA keeps it resident per chip.
+
+    extend_fn(scene, orig, dir, lamp_xyz=, light_length=) -> (t, ids-or-slots)
+    defaults to the XLA clustered traversal; pass the MXU kernel
+    (traverse_mxu_slots + slot_map=scene.tri_idx_flat) on TPU — each chip runs
+    the Pallas kernel on its own ray shard, and the psum rides slot bins so
+    the per-ray id gather never happens.
     """
+    if extend_fn is None:
+        extend_fn = functools.partial(traverse_clustered, max_clusters=max_clusters)
+    n_bins = t_count if slot_map is None else int(slot_map.shape[0])
 
     def shard_fn(scene, key, lamp_xyz, light_length):
         dev = jax.lax.axis_index(RAY_AXIS)
@@ -73,8 +92,10 @@ def sharded_launch_counts(
             )
         else:
             rays = gen_ops.generate_native(k, n_per_device, lamp_xyz, light_length)
-        _, hit = traverse_clustered(scene, rays.orig, rays.dir, max_clusters=max_clusters)
-        counts = acc_ops.hit_counts(hit, t_count, method)
+        res = extend_fn(
+            scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
+        )
+        counts = acc_ops.hit_counts(res[1], n_bins, method)
         return jax.lax.psum(counts, RAY_AXIS)
 
     fn = jax.shard_map(
@@ -82,8 +103,12 @@ def sharded_launch_counts(
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     )
-    return fn(scene, key, lamp_xyz, jnp.float32(light_length))
+    counts = fn(scene, key, lamp_xyz, jnp.float32(light_length))
+    if slot_map is not None:
+        counts = acc_ops.slots_to_tri(counts, slot_map, t_count)
+    return counts
 
 
 TEXEL_AXIS = "texels"
@@ -161,17 +186,26 @@ def sharded_texel_counts(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(TEXEL_AXIS),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     return fn(scene, atlas, tri_v0, tri_e1, tri_e2, key, lamp_xyz, jnp.float32(light_length))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_per_device", "t_count", "sampler", "method", "max_clusters"),
+    static_argnames=(
+        "mesh",
+        "n_per_device",
+        "t_count",
+        "sampler",
+        "method",
+        "max_clusters",
+        "extend_fn",
+    ),
 )
 def sharded_sim_step(
     mesh: Mesh,
-    scene: ClusterArrays,
+    scene,
     photon_map,
     max_photon_map,
     key,
@@ -182,8 +216,10 @@ def sharded_sim_step(
     n_per_device: int,
     t_count: int,
     sampler: str = "stratified",
-    method: str = "sort",
+    method: str = "segment",
     max_clusters: int = 32,
+    extend_fn=None,
+    slot_map=None,
 ):
     """One full waypoint step: counts (sharded) + dose accumulation
     (ComputeSingleLightDosageMap + accumulate, raytracer.cpp:75-88 +
@@ -199,5 +235,7 @@ def sharded_sim_step(
         sampler=sampler,
         method=method,
         max_clusters=max_clusters,
+        extend_fn=extend_fn,
+        slot_map=slot_map,
     )
     return acc_ops.accumulate_dose(photon_map, max_photon_map, counts, duration)
