@@ -49,9 +49,8 @@ def main():
     lamp = jnp.array([0.0, mesh.floor_height + 0.8, 0.0], jnp.float32)
     areas = jnp.asarray(mesh.areas)
 
-    cs = build_clusters(mesh.tris, cluster_size=128)
-
     backend = os.environ.get("UVTRACE_BENCH_BACKEND", "mxu")
+    cs = build_clusters(mesh.tris, cluster_size=64 if backend == "mxu" else 128)
     slot_map = None
     if backend in ("mxu", "pallas") and jax.default_backend() == "cpu":
         backend = "clustered"

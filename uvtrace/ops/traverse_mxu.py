@@ -12,7 +12,7 @@ Two ideas replace the packet-DFS VPU kernel (traverse_pallas.py):
        t_den  = side_0 + side_1 + side_2 = n . d         (exact identity)
 
    so intersecting a whole 1024-ray packet against a whole 128-triangle
-   cluster is ONE matmul  feat[cid] (16,512) x rfeat (16,1024)  on the MXU
+   cluster is ONE matmul  feat[cid] (16,4C) x rfeat (16,1024)  on the MXU
    plus a short VPU epilogue (sign agreement + eps tests + min/argmin).
 
 2. Scan-and-extract traversal (no tree). The scene has only a few hundred
@@ -48,7 +48,7 @@ from uvtrace.ops.cluster import ClusteredScene
 BIG = np.float32(1e30)
 PACKET = 1024
 NFEAT = 16  # d(3), m=o x d(3), o(3), 1; padded to a sublane multiple
-KBATCH = 32  # candidates extracted per vector->scalar crossing
+KBATCH = 16  # candidates extracted per vector->scalar crossing
 
 
 class MxuScene(NamedTuple):
@@ -56,20 +56,21 @@ class MxuScene(NamedTuple):
 
     boxes: jax.Array  # f32[6, 8, L8] cluster AABBs: rows min.xyz,max.xyz;
     #                   cluster c lives at (c // L8, c % L8); pads = +BIG
-    feat: jax.Array  # f32[L, NFEAT, 512] per-cluster feature tiles (below)
-    tri_idx_flat: jax.Array  # i32[L*128] padded slot -> original tri id (-1)
+    feat: jax.Array  # f32[L, NFEAT, 4*C] per-cluster feature tiles (below)
+    tri_idx_flat: jax.Array  # i32[L*C] padded slot -> original tri id (-1)
 
 
 def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
     """Host-side: padded AABB planes + per-cluster Plücker feature tiles.
 
-    feat[l, :, q*128 + j] is the 16-coefficient vector of quantity q for the
+    feat[l, :, q*C + j] is the 16-coefficient vector of quantity q for the
     cluster's j-th triangle; rows are the ray-feature basis
     [dx,dy,dz, mx,my,mz, ox,oy,oz, 1, 0...]. Quantities: q=0,1,2 the edge
     side tests, q=3 the t numerator. Padded (degenerate) triangles are all
     zeros -> sum(sides)=0 -> rejected by the |den| >= 1e-5 test.
     """
-    assert cs.cluster_size == 128, "mxu kernel is specialized to C=128"
+    c_sz = cs.cluster_size
+    assert c_sz % 8 == 0 and c_sz <= 512, c_sz
     l_count = cs.n_clusters
     l8 = max(1, -(-l_count // 8))
     boxes = np.full((6, 8 * l8), BIG, np.float32)
@@ -77,11 +78,11 @@ def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
     boxes[3:6, :l_count] = cs.box_max.T
     boxes = boxes.reshape(6, 8, l8)
 
-    a = cs.tris[:, :, 0].astype(np.float64)  # [L,128,3] f64 for feature prep
+    a = cs.tris[:, :, 0].astype(np.float64)  # [L,C,3] f64 for feature prep
     b = cs.tris[:, :, 1].astype(np.float64)
     c = cs.tris[:, :, 2].astype(np.float64)
     n = np.cross(b - a, c - a)  # geometric normal (unnormalized)
-    feat = np.zeros((l_count, NFEAT, 4, 128), np.float32)
+    feat = np.zeros((l_count, NFEAT, 4, c_sz), np.float32)
     for q, (edge_a, edge_b) in enumerate(((a, b), (b, c), (c, a))):
         feat[:, 0:3, q] = np.moveaxis(np.cross(edge_a, edge_b), 2, 1)  # . d
         feat[:, 3:6, q] = np.moveaxis(edge_b - edge_a, 2, 1)  # . m
@@ -89,7 +90,7 @@ def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
     feat[:, 9, 3] = np.einsum("ljk,ljk->lj", n, a)  # n . v0
     return MxuScene(
         boxes=jnp.asarray(boxes),
-        feat=jnp.asarray(feat.reshape(l_count, NFEAT, 512)),
+        feat=jnp.asarray(feat.reshape(l_count, NFEAT, 4 * c_sz)),
         tri_idx_flat=jnp.asarray(cs.tri_idx.reshape(-1)),
     )
 
@@ -99,6 +100,7 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
     t_out[0] = jnp.full((1, PACKET), BIG)
     slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
     l8 = boxes.shape[2]
+    c_sz = feat.shape[2] // 4  # triangles per cluster
 
     # ---- phase 1: frustum vs ALL cluster AABBs, one vector pass -----------
     # Conservative interval slab test: the t-interval of plane x=p over the
@@ -133,10 +135,18 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
     # direction axis spans 0 the slab test degenerates to "always hit", and a
     # visited pad cluster would read feat[] out of bounds (garbage hits)
     may_hit = jnp.logical_and(may_hit, idx2d < feat.shape[0])
-    cand0 = jnp.where(may_hit, jnp.maximum(entry, 0.0), BIG)  # (8, l8)
+    # Packed sort keys: entry is >= 0, so its f32 bit pattern is monotone in
+    # value; the low `idx_bits` mantissa bits are replaced by the cluster id.
+    # min(keys) then yields BOTH the nearest cluster and a truncated-DOWN
+    # (i.e. still conservative) entry bound in one reduction per extraction.
+    idx_bits = max(1, (8 * l8 - 1).bit_length())
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
+    ibig = jnp.int32(0x7F7FFFFF)  # bits of f32 max; sorts after everything
+    entry_bits = pltpu.bitcast(jnp.maximum(entry, 0.0), jnp.int32)
+    keys0 = jnp.where(may_hit, (entry_bits & ~idx_mask) | idx2d, ibig)  # (8, l8)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, KBATCH), 1)
     rf = rfeat[0]  # (NFEAT, PACKET)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (128, PACKET), 0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (c_sz, PACKET), 0)
 
     dot_kw = dict(
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -161,8 +171,13 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
             )
         else:
             q = jax.lax.dot_general(fc, rf, precision=precision, **dot_kw)
-        # (512, PACKET)
-        s0, s1, s2, tn = q[0:128], q[128:256], q[256:384], q[384:512]
+        # (4*c_sz, PACKET)
+        s0, s1, s2, tn = (
+            q[0:c_sz],
+            q[c_sz : 2 * c_sz],
+            q[2 * c_sz : 3 * c_sz],
+            q[3 * c_sz : 4 * c_sz],
+        )
         den = s0 + s1 + s2  # == n . d (exact identity)
         mn = jnp.minimum(jnp.minimum(s0, s1), s2)
         mx = jnp.maximum(jnp.maximum(s0, s1), s2)
@@ -176,23 +191,24 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
         )
         cur = t_out[0]
         better = tmin < cur
-        slot_out[0] = jnp.where(better, cid * 128 + arg, slot_out[0])
+        slot_out[0] = jnp.where(better, cid * c_sz + arg, slot_out[0])
         t_out[0] = jnp.where(better, tmin, cur)
         return jnp.max(t_out[0])  # packet bound tightens after leaves
 
     # ---- phase 2: near-ordered extraction + scalar visit loop -------------
     def batch(carry):
-        cand, t_ub, _more = carry
+        keys, t_ub, _more = carry
 
-        def extract(k, cand):
-            m = jnp.min(cand)
-            am = jnp.min(jnp.where(cand <= m, idx2d, jnp.int32(1 << 30)))
-            sel = kiota == k
-            ebuf_v[:, :] = jnp.where(sel, m, ebuf_v[:, :])
-            ibuf_v[:, :] = jnp.where(sel, am, ibuf_v[:, :])
-            return jnp.where(idx2d == am, BIG, cand)
+        def extract(k, keys):
+            m = jnp.min(keys)
+            ibuf_v[:, :] = jnp.where(kiota == k, m, ibuf_v[:, :])
+            return jnp.where(keys == m, ibig, keys)
 
-        cand = jax.lax.fori_loop(0, KBATCH, extract, cand)
+        keys = jax.lax.fori_loop(0, KBATCH, extract, keys)
+        # split packed keys: entry bound (f32 bits, idx bits zeroed -> still
+        # a lower bound on the true entry) and cluster id
+        ebuf_v[:, :] = pltpu.bitcast(ibuf_v[:, :] & ~idx_mask, jnp.float32)
+        ibuf_v[:, :] = ibuf_v[:, :] & idx_mask
         cp0 = pltpu.make_async_copy(ebuf_v, ebuf_s, sems.at[0])
         cp1 = pltpu.make_async_copy(ibuf_v, ibuf_s, sems.at[1])
         cp0.start()
@@ -213,9 +229,9 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
         # i32 carry, not bool: a bool while-carry miscompiled here (Mosaic
         # produced all-miss results for the all-axes-span frustum case).
         more = jnp.logical_and(j == KBATCH, ebuf_s[0, KBATCH - 1] < jnp.minimum(t_ub, BIG))
-        return cand, t_ub, more.astype(jnp.int32)
+        return keys, t_ub, more.astype(jnp.int32)
 
-    jax.lax.while_loop(lambda c: c[2] > 0, batch, (cand0, BIG, jnp.int32(1)))
+    jax.lax.while_loop(lambda c: c[2] > 0, batch, (keys0, BIG, jnp.int32(1)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
@@ -312,7 +328,7 @@ def traverse_mxu_slots(
     precision: str = "highest",
     **_,
 ):
-    """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*128 + lane)
+    """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*C + lane)
     instead of original triangle ids — no per-ray gather. miss => slot -1.
     Slot s maps to original id scene.tri_idx_flat[s].
 

@@ -182,7 +182,7 @@ class Simulator:
         bvh: Optional[FlatBVH] = None,
         ray_chunk: int = 1 << 20,
         max_leaf_size: Optional[int] = 8,
-        cluster_size: int = 128,
+        cluster_size: Optional[int] = None,
         max_clusters: int = 32,
     ):
         self.mesh = mesh
@@ -218,6 +218,11 @@ class Simulator:
             from uvtrace.ops.cluster import build_clusters
             from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
+            if cluster_size is None:
+                # 64-tri clusters measured fastest for the MXU kernel
+                # (tighter AABBs beat matmul batching); the XLA clustered
+                # path amortizes better at 128
+                cluster_size = 64 if backend == "mxu" else 128
             if use_native:
                 self.clusters = native_builder.build_clusters_native(
                     mesh.tris, cluster_size=cluster_size
