@@ -77,7 +77,45 @@ def bounce_rays(key, orig, direction, t_hit, hit_ids, normals, reflectance, aliv
     p = orig + t_hit[..., None] * direction
     new_dir = cosine_hemisphere(k_dir, n)
     new_orig = p + eps * n
-    # dead lanes: park at origin pointing +x (will be masked anyway)
-    new_orig = jnp.where(new_alive[..., None], new_orig, 0.0)
+    # dead lanes: park far OUTSIDE the scene pointing away — their (masked)
+    # traversal then culls instantly instead of re-tracing through the room
+    new_orig = jnp.where(new_alive[..., None], new_orig, jnp.float32(1e6))
     new_dir = jnp.where(new_alive[..., None], new_dir, jnp.array([1.0, 0.0, 0.0]))
     return new_orig, new_dir, new_alive
+
+
+def coherence_sort(orig, direction, alive, cell_meters: float = 1.0):
+    """Re-pack bounce rays into packet-coherent order.
+
+    Bounced photons scatter over the whole room in all directions; a
+    1024-ray packet of them makes the packet-frustum traversal visit ~every
+    cluster (measured ~1.9 ms/packet vs ~35 us for stratified primaries).
+    Sorting by (direction octant, quantized origin cell) restores locality.
+    One variadic lax.sort carries all ray fields along with the key — no
+    per-ray gathers (XLA TPU gathers run ~1 element/cycle).
+
+    Dead lanes sort to the end (key max), forming all-dead packets whose
+    parked rays cull instantly.
+    """
+    oct_ = (
+        (direction[:, 0] >= 0).astype(jnp.int32) * 4
+        + (direction[:, 1] >= 0).astype(jnp.int32) * 2
+        + (direction[:, 2] >= 0).astype(jnp.int32)
+    )
+    cell = jnp.zeros_like(oct_)
+    for a in range(3):
+        cell = cell * 8 + (
+            jnp.floor(orig[:, a] / cell_meters).astype(jnp.int32) & 7
+        )
+    key = jnp.where(alive, oct_ * 512 + cell, jnp.int32(1 << 30))
+    key, ox, oy, oz, dx, dy, dz, alive = jax.lax.sort(
+        (key, orig[:, 0], orig[:, 1], orig[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2], alive),
+        dimension=0,
+        num_keys=1,
+    )
+    return (
+        jnp.stack([ox, oy, oz], axis=-1),
+        jnp.stack([dx, dy, dz], axis=-1),
+        alive,
+    )

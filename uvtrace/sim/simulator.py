@@ -134,6 +134,12 @@ def launch_counts(
                 orig, direction, alive = bounce_rays(
                     kb, orig, direction, t_hit, hit_ids, normals, reflectance, alive
                 )
+                if slot_map is not None:
+                    # packet kernel: re-pack scattered bounce rays into
+                    # coherent packets (ops/bounce.coherence_sort)
+                    from uvtrace.ops.bounce import coherence_sort
+
+                    orig, direction, alive = coherence_sort(orig, direction, alive)
                 res = extend_fn(
                     scene, orig, direction, lamp_xyz=lamp_xyz, light_length=light_length
                 )
