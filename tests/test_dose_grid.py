@@ -1,0 +1,47 @@
+"""Top-down dose-grid probe image + bilingual strings."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from uvtrace import i18n
+from uvtrace.geometry.procedural import make_box_room
+from uvtrace.sim import Simulator, SimParams
+
+
+def test_dose_grid_shape_and_coverage():
+    room = make_box_room(subdivisions=5, clutter=2, seed=1)
+    params = dataclasses.replace(
+        SimParams(), photon_count=1 << 15, max_iterations=1, sampler="stratified"
+    )
+    sim = Simulator(room, params)
+    sim.compute()
+    grid = sim.dose_grid(res=64)
+    assert grid.shape == (64, 64)
+    assert np.isfinite(grid).all()
+    # a closed box: every downward probe hits something, most cells got dose
+    assert (grid > 0).mean() > 0.5
+
+
+def test_dose_grid_png(tmp_path):
+    from uvtrace.io.export import export_grid_png
+    from uvtrace.io.png import read_png
+
+    grid = np.linspace(0, 200, 32 * 32, dtype=np.float32).reshape(32, 32)
+    export_grid_png(tmp_path / "g.png", grid, min_value=100.0)
+    img = read_png(tmp_path / "g.png")
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0
+
+
+def test_i18n_roundtrip():
+    assert i18n.tr("progress") == "Progress"
+    i18n.set_language("nl")
+    try:
+        assert i18n.tr("progress") == "Voortgang"
+        assert "dosis" in i18n.tr("dose_max")
+    finally:
+        i18n.set_language("en")
+    with pytest.raises(ValueError):
+        i18n.set_language("de")

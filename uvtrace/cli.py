@@ -45,6 +45,7 @@ def _apply_param_flags(params, args):
         "max_bounces",
         "reflectance",
         "seed",
+        "precision",
     ]:
         v = getattr(args, field, None)
         if v is not None:
@@ -61,7 +62,9 @@ def _add_param_flags(p):
     p.add_argument("--min-dosage", dest="min_dosage", type=float)
     p.add_argument("--min-power", dest="min_power", type=float)
     p.add_argument("--sampler", choices=["native", "stratified", "reference"])
-    p.add_argument("--traversal", choices=["auto", "clustered", "jax", "pallas"])
+    p.add_argument("--traversal", choices=["auto", "clustered", "jax", "pallas", "mxu"])
+    p.add_argument("--precision", choices=["highest", "high", "fast"],
+                   help="mxu kernel matmul tier (see SimParams.precision)")
     p.add_argument("--bounces", dest="max_bounces", type=int)
     p.add_argument("--reflectance", type=float)
     p.add_argument("--seed", type=int)
@@ -127,7 +130,17 @@ def cmd_compute(args):
         sim.export_glb(out / "dose.glb", ViewMode.DOSAGE, args.threshold_view)
     if args.checkpoint:
         save_checkpoint(out / "checkpoint.npz", sim)
+    if args.dose_grid:
+        from uvtrace.io.export import export_grid_png
+
+        grid = sim.dose_grid(res=args.dose_grid)
+        np.save(out / "dose_grid.npy", grid)
+        export_grid_png(out / "dose_grid.png", grid, sim.params.min_dosage,
+                        args.threshold_view)
     d = np.asarray(dose)
+    from uvtrace.i18n import tr
+
+    print(f"{tr('computing')}: {tr('done')}")
     print(
         json.dumps(
             {
@@ -235,6 +248,8 @@ def cmd_bench(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="uvtrace", description=__doc__)
+    p.add_argument("--lang", choices=["en", "nl"], default="en",
+                   help="output language (the reference UI is bilingual EN/NL)")
     sub = p.add_subparsers(dest="command", required=True)
 
     pi = sub.add_parser("info", help="scene statistics")
@@ -250,6 +265,9 @@ def main(argv=None):
     pc.add_argument("--export-glb", action="store_true",
                     help="write a dose-colored .glb for external viewers")
     pc.add_argument("--checkpoint", action="store_true")
+    pc.add_argument("--dose-grid", type=int, default=0, metavar="RES",
+                    help="also write a RES x RES top-down dose image "
+                         "(BASELINE config 1: 256)")
     pc.set_defaults(fn=cmd_compute)
 
     pk = sub.add_parser("calibrate", help="calibrate lamp power vs a UV-meter reading")
@@ -282,6 +300,9 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    from uvtrace.i18n import set_language
+
+    set_language(args.lang)
     return args.fn(args)
 
 

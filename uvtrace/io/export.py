@@ -34,3 +34,14 @@ def export_legend_png(path, min_value, width=256, height=32) -> None:
     colors = np.asarray(greyscale_to_heatmap(jnp.asarray(ramp)))
     img = np.clip(np.broadcast_to(colors[None, :, :], (height, width, 3)), 0, 1)
     write_png(path, (img * 255).astype(np.uint8))
+
+
+def export_grid_png(path, grid, min_value, threshold_view=False) -> None:
+    """Top-down dose-grid image (Simulator.dose_grid) with the reference's
+    5-stop heatmap gradient (cl/shade.cl:43-71)."""
+    import jax.numpy as jnp
+
+    colors = np.asarray(
+        dosage_to_color(jnp.asarray(grid.ravel()), min_value, threshold_view)
+    ).reshape(grid.shape[0], grid.shape[1], 3)
+    write_png(path, (np.clip(colors, 0, 1) * 255).astype(np.uint8))

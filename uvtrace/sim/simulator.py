@@ -436,6 +436,36 @@ class Simulator:
             scaled_power = self.params.light_intensity * 0.1
         return texel_dose(self.atlas, src, n, scaled_power)
 
+    def dose_grid(self, res: int = 256, view: ViewMode = ViewMode.DOSAGE):
+        """Fixed-resolution top-down dose image (BASELINE config 1's
+        '256^2 dose map'): a res x res grid of downward probe rays over the
+        scene footprint; each cell reports the dose of the first surface the
+        probe hits (floor, bed, table tops — what a floor-plan heatmap shows).
+
+        Returns float32[res, res] in the same units as dosage_map(view).
+        """
+        verts = np.asarray(self.mesh.tris).reshape(-1, 3)
+        lo, hi = verts.min(axis=0), verts.max(axis=0)
+        xs = np.linspace(lo[0], hi[0], res, dtype=np.float32)
+        zs = np.linspace(lo[2], hi[2], res, dtype=np.float32)
+        gx, gz = np.meshgrid(xs, zs, indexing="xy")
+        n = res * res
+        pad = (-n) % 1024
+        orig = np.stack(
+            [gx.ravel(), np.full(n, hi[1] + 0.1, np.float32), gz.ravel()], axis=-1
+        )
+        if pad:
+            orig = np.concatenate([orig, np.full((pad, 3), 1e6, np.float32)])
+        direction = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n + pad, 1))
+        res_t = self._extend(self.scene, jnp.asarray(orig), jnp.asarray(direction))
+        hit = np.asarray(res_t[1])[:n]
+        if self._slot_map is not None:
+            sm = np.asarray(self._slot_map)
+            hit = np.where(hit >= 0, sm[np.maximum(hit, 0)], -1)
+        dose = np.asarray(self.dosage_map(view))
+        img = np.where(hit >= 0, dose[np.maximum(hit, 0)], 0.0).astype(np.float32)
+        return img.reshape(res, res)
+
     def colors(self, view: ViewMode = ViewMode.DOSAGE, threshold_view: bool = False):
         if view == ViewMode.TEXTURE:
             return jnp.asarray(self.mesh.flat_texture_colors())
