@@ -95,3 +95,33 @@ def test_calibrate(capsys):
     assert rc == 0
     result = json.loads(out.strip().splitlines()[-1])
     assert 10 < result["calibrated_power_W"] < 10000
+
+
+def test_compute_resume_extends(tmp_path):
+    """Cross-process 'Resume computation': --resume restores accumulators and
+    CLI flags override the checkpointed parameters."""
+    import json
+    import subprocess
+    import sys
+
+    from uvtrace.geometry.procedural import make_box_room
+    from uvtrace.io.gltf_export import export_glb
+
+    room = make_box_room(subdivisions=4, clutter=1, seed=3)
+    glb = tmp_path / "room.glb"
+    export_glb(glb, room.tris)
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "uvtrace", "compute", str(glb),
+             "--photon-count", "8192", "--no-render", *extra],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out1 = run("--iterations", "1", "--output", str(tmp_path / "o1"), "--checkpoint")
+    assert out1["photons"] == 8192
+    out2 = run("--iterations", "2", "--output", str(tmp_path / "o2"),
+               "--resume", str(tmp_path / "o1" / "checkpoint.npz"))
+    assert out2["photons"] == 16384

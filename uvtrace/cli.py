@@ -108,10 +108,31 @@ def cmd_compute(args):
     from uvtrace.utils.timing import ProgressReporter
 
     mesh, sim = _build_sim(args)
+    if args.resume:
+        # cross-process "Resume computation" (userinterface.cpp:339-344):
+        # restore accumulators + RNG + iteration counter and continue on top
+        from uvtrace.io.checkpoint import load_checkpoint
+
+        load_checkpoint(args.resume, sim)
+        # CLI flags override checkpointed parameters (e.g. --iterations to
+        # extend the run, exactly like the UI's editable iteration count)
+        sim.params = _apply_param_flags(sim.params, args)
+        sim.finished = sim.curr_iterations >= sim.params.max_iterations
+    profile = getattr(args, "profile", None)
     reporter = ProgressReporter(sim.params.max_iterations)
-    while not sim.finished:
-        sim.run_iteration()
-        reporter.update(sim.curr_iterations, sim.photon_map_size)
+
+    def _run():
+        while not sim.finished:
+            sim.run_iteration()
+            reporter.update(sim.curr_iterations, sim.photon_map_size)
+
+    if profile:
+        from uvtrace.utils.timing import device_trace
+
+        with device_trace(profile):
+            _run()
+    else:
+        _run()
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
     dose = sim.dosage_map(ViewMode.DOSAGE)
@@ -265,6 +286,10 @@ def main(argv=None):
     pc.add_argument("--export-glb", action="store_true",
                     help="write a dose-colored .glb for external viewers")
     pc.add_argument("--checkpoint", action="store_true")
+    pc.add_argument("--resume", metavar="CKPT",
+                    help="resume accumulation from a checkpoint.npz")
+    pc.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler device trace to DIR")
     pc.add_argument("--dose-grid", type=int, default=0, metavar="RES",
                     help="also write a RES x RES top-down dose image "
                          "(BASELINE config 1: 256)")
