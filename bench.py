@@ -57,11 +57,11 @@ def main():
     if backend == "mxu":
         import functools
 
-        from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_slots
+        from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_counts
 
         scene = build_mxu_scene(cs)
         extend = functools.partial(
-            traverse_mxu_slots,
+            traverse_mxu_counts,
             precision=os.environ.get("UVTRACE_BENCH_PRECISION", "high"),
         )
         slot_map = scene.tri_idx_flat
@@ -88,7 +88,10 @@ def main():
         key = jax.random.fold_in(jax.random.PRNGKey(0), i)
         rays = gen_ops.generate_stratified(key, n, lamp, 1.0, packet=1024)
         res = extend(scene, rays.orig, rays.dir)
-        counts = acc_ops.hit_counts(res[1], n_bins, "segment")
+        if slot_map is not None:
+            counts = res[2]  # histogrammed inside the kernel
+        else:
+            counts = acc_ops.hit_counts(res[1], n_bins, "segment")
         return carry + counts, None
 
     @jax.jit

@@ -77,3 +77,20 @@ def test_slot_space_counts_match_id_space(mxu_scene):
     np.testing.assert_array_equal(np.asarray(remapped), np.asarray(direct))
     # dose conservation: every hit lands in exactly one triangle bin
     assert int(np.asarray(remapped).sum()) == int((np.asarray(ids) >= 0).sum())
+
+
+def test_in_kernel_counts_match_segment(mxu_scene):
+    """The kernel's own histogram equals the XLA segment histogram exactly,
+    for both coherent and incoherent rays."""
+    from uvtrace.ops.traverse_mxu import traverse_mxu_counts
+
+    room, ms = mxu_scene
+    n_bins = int(ms.tri_idx_flat.shape[0])
+    for rays in (
+        generate_stratified(jax.random.PRNGKey(0), 2048, (0.0, 0.2, 0.0), 1.0),
+        generate_native(jax.random.PRNGKey(9), 1024, (0.3, -0.2, 0.1), 0.5),
+    ):
+        t, slot, counts = traverse_mxu_counts(ms, rays.orig, rays.dir, interpret=True)
+        ref = acc_ops.hit_counts(slot, n_bins, "segment")
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))
+        assert int(np.asarray(counts).sum()) == int((np.asarray(slot) >= 0).sum())

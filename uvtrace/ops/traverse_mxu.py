@@ -95,11 +95,17 @@ def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
     )
 
 
-def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibuf_s, sems,
-            *, precision):
+def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
+            vlist, sems, *, precision, with_counts):
     t_out[0] = jnp.full((1, PACKET), BIG)
     slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
     l8 = boxes.shape[2]
+    if with_counts:
+        # per-slot hit counts accumulate across the (sequential) grid steps
+        # in this constant-index output block; zero once at the first packet
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            counts[:, :] = jnp.zeros(counts.shape, jnp.int32)
     c_sz = feat.shape[2] // 4  # triangles per cluster
 
     # ---- phase 1: frustum vs ALL cluster AABBs, one vector pass -----------
@@ -196,8 +202,7 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
         return jnp.max(t_out[0])  # packet bound tightens after leaves
 
     # ---- phase 2: near-ordered extraction + scalar visit loop -------------
-    def batch(carry):
-        keys, t_ub, _more = carry
+    def batch(keys, t_ub, vbase):
 
         def extract(k, keys):
             m = jnp.min(keys)
@@ -222,20 +227,45 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, ebuf_v, ibuf_v, ebuf_s, ibu
 
         def visit(c):
             j, t_ub = c
-            return j + 1, leaf(ibuf_s[0, j], t_ub)
+            cid = ibuf_s[0, j]
+            if with_counts:
+                vlist[vbase + j] = cid
+            return j + 1, leaf(cid, t_ub)
 
         j, t_ub = jax.lax.while_loop(visit_cond, visit, (jnp.int32(0), t_ub))
         # all KBATCH consumed and the farthest still mattered => maybe more.
         # i32 carry, not bool: a bool while-carry miscompiled here (Mosaic
         # produced all-miss results for the all-axes-span frustum case).
         more = jnp.logical_and(j == KBATCH, ebuf_s[0, KBATCH - 1] < jnp.minimum(t_ub, BIG))
-        return keys, t_ub, more.astype(jnp.int32)
+        return keys, t_ub, more.astype(jnp.int32), vbase + j
 
-    jax.lax.while_loop(lambda c: c[2] > 0, batch, (keys0, BIG, jnp.int32(1)))
+    def batch_outer(carry):
+        keys, t_ub, _more, vbase = carry
+        return batch(keys, t_ub, vbase)
+
+    _, _, _, vtotal = jax.lax.while_loop(
+        lambda c: c[2] > 0, batch_outer, (keys0, BIG, jnp.int32(1), jnp.int32(0))
+    )
+
+    if with_counts:
+        # histogram the packet's final winners into counts[cid]: one
+        # eq-compare + ray-axis reduction per VISITED cluster (every winner
+        # slot belongs to a visited cluster by construction)
+        final_slot = slot_out[0]  # (1, PACKET)
+
+        def hist(k, _):
+            cid = vlist[k]
+            eq = (final_slot - cid * c_sz) == row_id  # (c_sz, PACKET)
+            col = jnp.sum(eq.astype(jnp.int32), axis=1, keepdims=True)  # (c_sz,1)
+            counts[pl.ds(cid, 1), :] = counts[pl.ds(cid, 1), :] + col.reshape(1, c_sz)
+            return 0
+
+        jax.lax.fori_loop(0, vtotal, hist, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
-def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest"):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts"))
+def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest",
+                         with_counts=False):
     """o3/d3: f32[G, 1024, 3] packet-major rays."""
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
@@ -243,6 +273,9 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         "fast": jax.lax.Precision.DEFAULT,
     }[precision]
     g_total = o3.shape[0]
+    l_count = scene.feat.shape[0]
+    c_sz = scene.feat.shape[2] // 4
+    vmax = scene.boxes.shape[2] * 8
     m3 = jnp.cross(o3, d3)
     rfeat = jnp.concatenate(
         [
@@ -265,8 +298,8 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         axis=1,
     ).reshape(g_total, 1, 16)
 
-    t, slot = pl.pallas_call(
-        functools.partial(_kernel, precision=prec),
+    out = pl.pallas_call(
+        functools.partial(_kernel, precision=prec, with_counts=with_counts),
         grid=(g_total,),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -277,16 +310,19 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         out_specs=[
             pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_count, c_sz), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.float32),
             jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((l_count, c_sz), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, KBATCH), jnp.float32),
             pltpu.VMEM((1, KBATCH), jnp.int32),
             pltpu.SMEM((1, KBATCH), jnp.float32),
             pltpu.SMEM((1, KBATCH), jnp.int32),
+            pltpu.SMEM((vmax,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -294,9 +330,12 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         ),
         interpret=interpret,
     )(pbounds, scene.boxes, rfeat, scene.feat)
+    t, slot, counts = out
     t = t.reshape(g_total * PACKET)
     slot = slot.reshape(g_total * PACKET)
     slot = jnp.where(t >= BIG, -1, slot)
+    if with_counts:
+        return t, slot, counts.reshape(-1)
     return t, slot
 
 
@@ -317,6 +356,30 @@ def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
                                  precision=precision)
     hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
     return t, hit
+
+
+def traverse_mxu_counts(
+    scene: MxuScene,
+    orig,
+    direction,
+    *,
+    interpret: bool = False,
+    precision: str = "highest",
+    **_,
+):
+    """Like traverse_mxu_slots but ALSO returns int32[L*C] per-slot hit
+    counts histogrammed inside the kernel (counts accumulate in a VMEM
+    output block across the sequential packet grid) — saves the XLA
+    segment_sum scatter (~7 us/packet at 2^20 rays). Returns (t, slot,
+    counts_slots); counts include every ray (callers must launch whole
+    chunks, i.e. no masked tail)."""
+    r = orig.shape[0]
+    assert r % PACKET == 0, (r, PACKET)
+    o3 = orig.reshape(r // PACKET, PACKET, 3)
+    d3 = direction.reshape(r // PACKET, PACKET, 3)
+    return _traverse_mxu_padded(
+        scene, o3, d3, interpret=interpret, precision=precision, with_counts=True
+    )
 
 
 def traverse_mxu_slots(

@@ -34,7 +34,7 @@ from uvtrace.sim.params import SimParams, ViewMode
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces", "n_texels"),
+    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces", "n_texels", "extend_counts_fn"),
 )
 def launch_counts(
     scene,
@@ -57,6 +57,7 @@ def launch_counts(
     tri_e1=None,
     tri_e2=None,
     slot_map=None,
+    extend_counts_fn=None,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
@@ -77,6 +78,10 @@ def launch_counts(
     # lighting counts in padded-slot space and remaps bins once at the end
     slot_space = slot_map is not None and atlas is None and max_bounces == 0
     n_bins = slot_map.shape[0] if slot_space else t_count
+    # in-kernel histogram: the traversal kernel bins winners itself (saves
+    # the XLA segment_sum scatter); requires whole chunks (counts cannot
+    # mask a padded tail) and the pure direct-lighting slot-space path
+    counts_mode = extend_counts_fn is not None and slot_space and n % chunk == 0
 
     def texel_counts_of(orig, direction, t_hit, hit_ids):
         from uvtrace.ops import texel as texel_ops
@@ -103,6 +108,11 @@ def launch_counts(
         else:
             key = jax.random.fold_in(rng_in, i)
             rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
+        if counts_mode:
+            _, _, counts_chunk = extend_counts_fn(
+                scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
+            )
+            return (counts + counts_chunk, tex_counts), None
         res = extend_fn(
             scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
         )
@@ -204,6 +214,7 @@ class Simulator:
             backend = "jax"
         self.backend = backend
         self._slot_map = None
+        self._extend_counts = None
 
         # prefer the native C++ builder when the toolchain is present
         from uvtrace.bvh import native as native_builder
@@ -236,11 +247,18 @@ class Simulator:
             else:
                 self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
             if backend == "mxu":
-                from uvtrace.ops.traverse_mxu import build_mxu_scene, traverse_mxu_slots
+                from uvtrace.ops.traverse_mxu import (
+                    build_mxu_scene,
+                    traverse_mxu_counts,
+                    traverse_mxu_slots,
+                )
 
                 self.scene = build_mxu_scene(self.clusters)
                 self._extend = functools.partial(
                     traverse_mxu_slots, precision=params.precision
+                )
+                self._extend_counts = functools.partial(
+                    traverse_mxu_counts, precision=params.precision
                 )
                 self._slot_map = self.scene.tri_idx_flat
                 # the kernel consumes whole 1024-ray packets
@@ -360,6 +378,7 @@ class Simulator:
             tri_e1=self._tri_e1 if self.atlas is not None else None,
             tri_e2=self._tri_e2 if self.atlas is not None else None,
             slot_map=self._slot_map,
+            extend_counts_fn=self._extend_counts,
         )
         self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
             self.photon_map, self.max_photon_map, counts, lamp.duration
