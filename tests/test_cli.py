@@ -77,7 +77,29 @@ def test_compute_with_route(tmp_path, capsys):
     )
     assert rc == 0
     stats = json.loads(out.strip().splitlines()[-1])
-    # 12 waypoints x (8192//12 rounded to even)
+    # stratified (default) traces whole chunks; never fewer photons than the
+    # reference budget of 12 waypoints x (8192//12 rounded to even)
+    assert stats["photons"] >= 12 * ((8192 // 12) & ~1)
+
+
+def test_compute_reference_photon_budget(tmp_path, capsys):
+    """iid samplers keep the reference's exact photon arithmetic
+    (photonsPerLight = (photonCount/numLights) & ~1, raytracer.cpp:61-64)."""
+    rc, out = run_cli(
+        [
+            "compute",
+            SCENE,
+            "--route", os.path.join(ASSETS, "route.xml"),
+            "--photon-count", "8192",
+            "--iterations", "1",
+            "--sampler", "native",
+            "--no-render",
+            "--output", str(tmp_path / "out"),
+        ],
+        capsys,
+    )
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
     assert stats["photons"] == 12 * ((8192 // 12) & ~1)
 
 

@@ -14,14 +14,16 @@ from uvtrace.sim import SimParams, Simulator, ViewMode
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
+# the snapshots pin their RNG streams: one per sampler
 PARAMS = SimParams(photon_count=1 << 14, max_iterations=2, seed=1234,
-                   light_intensity=450.0)
+                   light_intensity=450.0, sampler="native")
+PARAMS_STRAT = dataclasses.replace(PARAMS, sampler="stratified")
 ROUTE = [LightPos(0.3, -0.4, 45.0), LightPos(-0.6, 0.8, 30.0)]
 
 
-def _run():
+def _run(params):
     room = make_box_room(subdivisions=4, clutter=2, seed=77, floor_y=-1.2)
-    sim = Simulator(room, PARAMS, route=list(ROUTE))
+    sim = Simulator(room, params, route=list(ROUTE))
     sim.compute()
     return (
         np.asarray(sim.dosage_map(ViewMode.DOSAGE)),
@@ -29,9 +31,9 @@ def _run():
     )
 
 
-def test_golden_dose():
-    path = os.path.join(GOLDEN, "box_room_dose.npz")
-    dose, irr = _run()
+def _check(name, params):
+    path = os.path.join(GOLDEN, name)
+    dose, irr = _run(params)
     if not os.path.exists(path):  # pragma: no cover - regeneration path
         os.makedirs(GOLDEN, exist_ok=True)
         np.savez_compressed(path, dose=dose, irr=irr)
@@ -39,3 +41,11 @@ def test_golden_dose():
     ref = np.load(path)
     np.testing.assert_allclose(dose, ref["dose"], rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(irr, ref["irr"], rtol=1e-6, atol=1e-8)
+
+
+def test_golden_dose():
+    _check("box_room_dose.npz", PARAMS)
+
+
+def test_golden_dose_stratified():
+    _check("box_room_dose_stratified.npz", PARAMS_STRAT)

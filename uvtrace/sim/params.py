@@ -33,7 +33,13 @@ class SimParams:
     min_power: float = 1500.0  # µW/cm^2
 
     # Framework knobs (no reference equivalent):
-    sampler: str = "native"  # "native" | "stratified" | "reference"
+    # "stratified" | "native" | "reference". Stratified (equal-area sphere
+    # cells per ray packet) is the default: unbiased, strictly lower variance
+    # than iid, and packet-coherent — the iid samplers make every packet's
+    # frustum cover the whole scene (~100x slower on the MXU kernel).
+    # "native" = iid threefry (the reference's distribution); "reference" =
+    # bit-exact WangHash/xorshift32 replay of cl/generate.cl.
+    sampler: str = "stratified"
     accumulate_method: str = "segment"  # see ops/accumulate.py (segment ~10x
     #   faster than sort on TPU for 2^20 rays -> 45k bins, measured)
     traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas" | "mxu"
