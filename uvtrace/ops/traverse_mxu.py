@@ -97,6 +97,14 @@ def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
 
 def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
             vlist, sems, *, precision, with_counts):
+    pb_vals = [pb[0, 0, k] for k in range(12)]
+    _trace(pb_vals, boxes, rfeat[0], feat, t_out, slot_out, counts, ebuf_v,
+           ibuf_v, ebuf_s, ibuf_s, vlist, sems,
+           precision=precision, with_counts=with_counts)
+
+
+def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
+           vlist, sems, *, precision, with_counts):
     t_out[0] = jnp.full((1, PACKET), BIG)
     slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
     l8 = boxes.shape[2]
@@ -117,8 +125,8 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebu
     entry = jnp.full((8, l8), -BIG)
     exit_ = jnp.full((8, l8), BIG)
     for ax in range(3):
-        o_lo, o_hi = pb[0, 0, ax], pb[0, 0, 3 + ax]
-        d_lo, d_hi = pb[0, 0, 6 + ax], pb[0, 0, 9 + ax]
+        o_lo, o_hi = pb_vals[ax], pb_vals[3 + ax]
+        d_lo, d_hi = pb_vals[6 + ax], pb_vals[9 + ax]
         spans = jnp.logical_and(d_lo <= 0.0, d_hi >= 0.0)
         i_lo = 1.0 / jnp.where(spans, jnp.float32(1.0), d_hi)
         i_hi = 1.0 / jnp.where(spans, jnp.float32(1.0), d_lo)
@@ -151,7 +159,8 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebu
     entry_bits = pltpu.bitcast(jnp.maximum(entry, 0.0), jnp.int32)
     keys0 = jnp.where(may_hit, (entry_bits & ~idx_mask) | idx2d, ibig)  # (8, l8)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, KBATCH), 1)
-    rf = rfeat[0]  # (NFEAT, PACKET)
+    # rf: (NFEAT, PACKET) ray-feature value (from HBM rays or the fused
+    # in-kernel generator)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (c_sz, PACKET), 0)
 
     dot_kw = dict(
@@ -404,3 +413,240 @@ def traverse_mxu_slots(
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
     return _traverse_mxu_padded(scene, o3, d3, interpret=interpret, precision=precision)
+
+
+# --------------------------------------------------------------------------
+# Fused generate + trace + histogram: rays never leave VMEM
+# --------------------------------------------------------------------------
+
+TWO_PI = np.float32(2.0 * np.pi)
+
+
+def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out,
+                  rf_scr, ebuf_v, ibuf_v, ebuf_s, ibuf_s, vlist, sems,
+                  *, precision, grid_dims, with_rays):
+    """Generate one stratified 1024-ray packet in-kernel (pltpu PRNG), build
+    its Plücker features in VMEM scratch, derive the packet frustum bounds
+    ANALYTICALLY from the stratum cell (no vector->scalar reductions), then
+    run the shared trace body. Ray data never touches HBM.
+
+    gpi: i32[1,1,8] SMEM [key0, key1]; gpf: f32[1,1,8] SMEM [lx,ly,lz,len].
+    grid_dims: static (gh, gy, gphi) — must match ops/generate._stratum_grid.
+    """
+    gh, gy, gphi = grid_dims
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        # constant feature rows: 1-row (index 9) and the K padding
+        rf_scr[9:NFEAT, :] = jnp.concatenate(
+            [jnp.ones((1, PACKET), jnp.float32),
+             jnp.zeros((NFEAT - 10, PACKET), jnp.float32)], axis=0
+        )
+
+    ih = pid // (gy * gphi)
+    iy = (pid // gphi) % gy
+    ip = pid % gphi
+    ihf, iyf, ipf = (x.astype(jnp.float32) for x in (ih, iy, ip))
+    lx, ly, lz, llen = gpf[0, 0, 0], gpf[0, 0, 1], gpf[0, 0, 2], gpf[0, 0, 3]
+
+    # counter-based per-value hash (WangHash x2, the reference's own RNG
+    # family, cl/tools.cl:2-4) — pure jnp int ops, identical in interpret
+    # and compiled modes, no pltpu PRNG dependency
+    def wang(x):
+        x = (x ^ 61) ^ jax.lax.shift_right_logical(x, 16)
+        x = x * 9
+        x = x ^ jax.lax.shift_right_logical(x, 4)
+        x = x * jnp.int32(0x27D4EB2D)
+        x = x ^ jax.lax.shift_right_logical(x, 15)
+        return x
+
+    ctr = (
+        jax.lax.broadcasted_iota(jnp.int32, (3, PACKET), 0) * PACKET
+        + jax.lax.broadcasted_iota(jnp.int32, (3, PACKET), 1)
+        + pid * (3 * PACKET)
+    )
+    h = wang(wang(ctr ^ gpi[0, 0, 0]) ^ gpi[0, 0, 1])
+    u = jax.lax.shift_right_logical(h, 8).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24)
+    )
+    uh, uy, up = u[0:1], u[1:2], u[2:3]  # (1, PACKET) each
+
+    # same parameterization as ops/generate.generate_stratified
+    dy = -1.0 + 2.0 * (iyf + uy) / np.float32(gy)
+    phi = TWO_PI * (ipf + up) / np.float32(gphi)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - dy * dy))
+    dx = r * jnp.cos(phi)
+    dz = r * jnp.sin(phi)
+    oy = ly + (ihf + uh) / np.float32(gh) * llen
+    ox = jnp.full((1, PACKET), lx) + 0.0 * oy
+    oz = jnp.full((1, PACKET), lz) + 0.0 * oy
+
+    rf_scr[0:1, :] = dx
+    rf_scr[1:2, :] = dy
+    rf_scr[2:3, :] = dz
+    rf_scr[3:4, :] = oy * dz - lz * dy  # m = o x d (ox=lx, oz=lz constant)
+    rf_scr[4:5, :] = lz * dx - lx * dz
+    rf_scr[5:6, :] = lx * dy - oy * dx
+    rf_scr[6:7, :] = ox
+    rf_scr[7:8, :] = oy
+    rf_scr[8:9, :] = oz
+    if with_rays:
+        ro_out[0, 0:1, :] = ox
+        ro_out[0, 1:2, :] = oy
+        ro_out[0, 2:3, :] = oz
+        rd_out[0, 0:1, :] = dx
+        rd_out[0, 1:2, :] = dy
+        rd_out[0, 2:3, :] = dz
+
+    # ---- analytic per-cell frustum bounds (scalar, conservative+exact) ----
+    ylo = -1.0 + 2.0 * iyf / np.float32(gy)
+    yhi = -1.0 + 2.0 * (iyf + 1.0) / np.float32(gy)
+    y2a, y2b = ylo * ylo, yhi * yhi
+    spans0 = jnp.logical_and(ylo <= 0.0, yhi >= 0.0)
+    y2min = jnp.where(spans0, jnp.float32(0.0), jnp.minimum(y2a, y2b))
+    y2max = jnp.maximum(y2a, y2b)
+    rmin = jnp.sqrt(jnp.maximum(0.0, 1.0 - y2max))
+    rmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - y2min))
+    plo = TWO_PI * ipf / np.float32(gphi)
+    phi_ = TWO_PI * (ipf + 1.0) / np.float32(gphi)
+    ca, cb = jnp.cos(plo), jnp.cos(phi_)
+    c_hi = jnp.maximum(ca, cb)
+    c_hi = jnp.where((plo <= 0.0) | (phi_ >= TWO_PI), jnp.float32(1.0), c_hi)
+    c_lo = jnp.minimum(ca, cb)
+    c_lo = jnp.where((plo <= np.pi) & (phi_ >= np.pi), jnp.float32(-1.0), c_lo)
+    sa, sb = jnp.sin(plo), jnp.sin(phi_)
+    s_hi = jnp.maximum(sa, sb)
+    s_hi = jnp.where((plo <= np.pi / 2) & (phi_ >= np.pi / 2), jnp.float32(1.0), s_hi)
+    s_lo = jnp.minimum(sa, sb)
+    s_lo = jnp.where(
+        (plo <= 3 * np.pi / 2) & (phi_ >= 3 * np.pi / 2), jnp.float32(-1.0), s_lo
+    )
+    eps = jnp.float32(1e-6)  # absorb trig/uniform rounding at cell borders
+
+    def prod_hull(lo, hi):
+        p1, p2, p3, p4 = rmin * lo, rmin * hi, rmax * lo, rmax * hi
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)) - eps,
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)) + eps,
+        )
+
+    dxlo, dxhi = prod_hull(c_lo, c_hi)
+    dzlo, dzhi = prod_hull(s_lo, s_hi)
+    oylo = ly + ihf / np.float32(gh) * llen - eps
+    oyhi = ly + (ihf + 1.0) / np.float32(gh) * llen + eps
+    pb_vals = [lx, oylo, lz, lx, oyhi, lz,
+               dxlo, ylo - eps, dzlo, dxhi, yhi + eps, dzhi]
+
+    _trace(pb_vals, boxes, rf_scr[:, :], feat, t_out, slot_out, counts, ebuf_v,
+           ibuf_v, ebuf_s, ibuf_s, vlist, sems,
+           precision=precision, with_counts=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "height_bands", "interpret", "precision", "with_rays")
+)
+def fused_trace_counts(
+    scene: MxuScene,
+    key,
+    lamp_xyz,
+    light_length,
+    n: int,
+    *,
+    precision: str = "highest",
+    height_bands: int = 4,
+    interpret: bool = False,
+    with_rays: bool = False,
+    **_,
+):
+    """Fused generate->extend->histogram: one kernel launch per chunk; the
+    stratified sampler runs on the in-kernel PRNG, so rays never exist in
+    HBM. Statistically identical to generate_stratified + traverse_mxu_counts
+    (same stratum grid; different RNG streams).
+
+    Returns (t, slot, counts_slots[, orig, dir if with_rays]).
+    """
+    from uvtrace.ops.generate import _stratum_grid
+
+    assert n % PACKET == 0, (n, PACKET)
+    g_total = n // PACKET
+    grid_dims = _stratum_grid(g_total, height_bands=height_bands)
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": "high",
+        "fast": jax.lax.Precision.DEFAULT,
+    }[precision]
+    l_count = scene.feat.shape[0]
+    c_sz = scene.feat.shape[2] // 4
+    vmax = scene.boxes.shape[2] * 8
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    gpi = jnp.zeros((1, 1, 8), jnp.int32)
+    gpi = gpi.at[0, 0, 0].set(kd[0].astype(jnp.int32)).at[0, 0, 1].set(kd[1].astype(jnp.int32))
+    lamp = jnp.asarray(lamp_xyz, jnp.float32)
+    gpf = jnp.zeros((1, 1, 8), jnp.float32)
+    gpf = gpf.at[0, 0, 0].set(lamp[0]).at[0, 0, 1].set(lamp[1])
+    gpf = gpf.at[0, 0, 2].set(lamp[2]).at[0, 0, 3].set(jnp.float32(light_length))
+
+    if with_rays:
+        kernel = functools.partial(
+            _fused_kernel, precision=prec, grid_dims=grid_dims, with_rays=True
+        )
+        ray_specs = [
+            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        ray_shapes = [
+            jax.ShapeDtypeStruct((g_total, 3, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 3, PACKET), jnp.float32),
+        ]
+    else:
+        def kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, *scratch):
+            _fused_kernel(
+                gpi, gpf, boxes, feat, t_out, slot_out, counts, None, None,
+                *scratch, precision=prec, grid_dims=grid_dims, with_rays=False
+            )
+
+        ray_specs, ray_shapes = [], []
+    out = pl.pallas_call(
+        kernel,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # feat
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_count, c_sz), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + ray_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((l_count, c_sz), jnp.int32),
+        ]
+        + ray_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((NFEAT, PACKET), jnp.float32),
+            pltpu.VMEM((1, KBATCH), jnp.float32),
+            pltpu.VMEM((1, KBATCH), jnp.int32),
+            pltpu.SMEM((1, KBATCH), jnp.float32),
+            pltpu.SMEM((1, KBATCH), jnp.int32),
+            pltpu.SMEM((vmax,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(gpi, gpf, scene.boxes, scene.feat)
+    t, slot, counts = out[0], out[1], out[2]
+    t = t.reshape(g_total * PACKET)
+    slot = jnp.where(t >= BIG, -1, slot.reshape(g_total * PACKET))
+    if with_rays:
+        orig = out[3].swapaxes(1, 2).reshape(g_total * PACKET, 3)
+        direction = out[4].swapaxes(1, 2).reshape(g_total * PACKET, 3)
+        return t, slot, counts.reshape(-1), orig, direction
+    return t, slot, counts.reshape(-1)
