@@ -115,3 +115,61 @@ def test_timer_and_progress(capsys):
     rep.update(1, 1000)
     out = capsys.readouterr().out
     assert "Progress: 10%" in out and "photon count: 1000" in out
+
+
+def test_route_markers_and_gamma(tmp_path):
+    """Route overlay (reference lamp rods, myapp.cpp:140-153) + opt-in gamma
+    on exported heatmaps and dose grids."""
+    import numpy as np
+
+    from uvtrace.geometry.procedural import make_box_room
+    from uvtrace.io.export import export_grid_png, export_heatmap_png
+    from uvtrace.io.png import read_png
+    from uvtrace.io.routexml import LightPos
+
+    room = make_box_room(subdivisions=2)
+    dose = np.linspace(0.0, 200.0, room.triangle_count).astype(np.float32)
+    route = [LightPos(0.0, 0.0, 60.0), LightPos(1.0, 0.5, 30.0)]
+    export_heatmap_png(
+        tmp_path / "plain.png", room.tris, dose, 100.0, width=160, height=120
+    )
+    export_heatmap_png(
+        tmp_path / "marked.png", room.tris, dose, 100.0, width=160, height=120,
+        route=route, selected=1, floor_height=room.floor_height,
+    )
+    plain = read_png(tmp_path / "plain.png")
+    marked = read_png(tmp_path / "marked.png")
+    assert (plain != marked).any()  # markers drew something
+    # selected lamp color (255,100,100) present
+    sel = (marked[:, :, 0] == 255) & (marked[:, :, 1] == 100) & (marked[:, :, 2] == 100)
+    assert sel.any()
+    # gamma brightens mid-tones
+    export_heatmap_png(
+        tmp_path / "g.png", room.tris, dose, 100.0, width=160, height=120, gamma=True
+    )
+    g = read_png(tmp_path / "g.png").astype(np.int32)
+    assert g.sum() > plain.astype(np.int32).sum()
+
+    grid = np.tile(np.linspace(0, 200, 64, dtype=np.float32), (64, 1))
+    export_grid_png(tmp_path / "grid.png", grid, 100.0, route=route,
+                    aabb=room.aabb, selected=0)
+    gimg = read_png(tmp_path / "grid.png")
+    sel = (gimg[:, :, 0] == 255) & (gimg[:, :, 1] == 100) & (gimg[:, :, 2] == 100)
+    assert sel.any()
+
+
+def test_cli_watch_exports_live_heatmap(tmp_path, capsys):
+    from uvtrace.cli import main
+    from uvtrace.geometry.procedural import make_box_room
+    from uvtrace.io.gltf_export import export_glb
+
+    room = make_box_room(subdivisions=2)
+    export_glb(tmp_path / "room.glb", room.tris)
+    rc = main([
+        "compute", str(tmp_path / "room.glb"), "--photon-count", "2048",
+        "--iterations", "2", "--output", str(tmp_path / "o"), "--watch",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert (tmp_path / "o" / "dose_live.png").exists()
+    assert (tmp_path / "o" / "dose.png").exists()

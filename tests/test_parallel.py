@@ -56,6 +56,79 @@ def test_sharded_matches_unsharded_distribution(setup):
     assert np.quantile(rel, 0.9) < 0.5
 
 
+def test_simulator_sharded_bitexact_vs_single_device(setup):
+    """The PRODUCT multi-chip path: Simulator(device_mesh=...) must produce
+    bit-identical dose maps for 1 and 8 devices (global-chunk-index RNG,
+    psum of partials — uvtrace/sim/simulator.py:_launch_sharded)."""
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.sim import SimParams, Simulator
+
+    room, _ = setup
+    route = [LightPos(0.0, 0.0, 2.0), LightPos(0.4, -0.3, 1.0)]
+    for sampler in ("stratified", "reference"):
+        maps = {}
+        for nd in (1, 8):
+            sim = Simulator(
+                room,
+                SimParams(photon_count=1 << 12, max_iterations=1, sampler=sampler),
+                route=list(route),
+                # 2048 photons/lamp must divide ndev*chunk for the 1-dev and
+                # 8-dev launches to round to the same n (else 8-dev rounds up)
+                ray_chunk=256,
+                device_mesh=make_ray_mesh(nd),
+            )
+            sim.run_iteration()
+            maps[nd] = (np.asarray(sim.photon_map), np.asarray(sim.max_photon_map))
+        assert np.array_equal(maps[1][0], maps[8][0]), sampler
+        assert np.array_equal(maps[1][1], maps[8][1]), sampler
+        assert maps[8][0].sum() > 0
+
+
+def test_simulator_sharded_bounce_bitexact(setup):
+    """Bounce mode under shard_map: global-index bounce keys keep 1-dev and
+    8-dev runs identical (multi-bounce + RR, ops/bounce.py)."""
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.sim import SimParams, Simulator
+
+    room, _ = setup
+    params = SimParams(
+        photon_count=1 << 12, max_iterations=1, max_bounces=2, reflectance=0.5
+    )
+    maps = {}
+    for nd in (1, 8):
+        sim = Simulator(
+            room, params, route=[LightPos(0.1, 0.2, 3.0)], ray_chunk=512,
+            device_mesh=make_ray_mesh(nd),
+        )
+        sim.run_iteration()
+        maps[nd] = np.asarray(sim.photon_map)
+    assert np.array_equal(maps[1], maps[8])
+    # bounces add hits beyond the direct 4096
+    assert maps[8].sum() / 3.0 > 4096
+
+
+def test_simulator_sharded_mxu_kernel(setup):
+    """The MXU Pallas kernel under shard_map (interpret mode on the CPU
+    mesh — the exact kernel code path TPU multi-chip runs), vs the same
+    Simulator unsharded."""
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.sim import SimParams, Simulator
+
+    room, _ = setup
+    params = SimParams(photon_count=4 * 1024, max_iterations=1, traversal="mxu",
+                       precision="highest")
+    maps = {}
+    for nd in (None, 4):
+        sim = Simulator(
+            room, params, route=[LightPos(0.0, 0.0, 1.0)], ray_chunk=1024,
+            device_mesh=None if nd is None else make_ray_mesh(nd),
+        )
+        sim.run_iteration()
+        maps[nd] = np.asarray(sim.photon_map)
+    assert np.array_equal(maps[None], maps[4])
+    assert maps[4].sum() == 4 * 1024  # closed room: every photon lands
+
+
 def test_sharded_sim_step_accumulates(setup):
     room, scene = setup
     mesh = make_ray_mesh()

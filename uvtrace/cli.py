@@ -69,6 +69,11 @@ def _add_param_flags(p):
     p.add_argument("--reflectance", type=float)
     p.add_argument("--seed", type=int)
     p.add_argument("--route", type=str, help="route XML (reference schema)")
+    p.add_argument("--shards", type=int, default=0, metavar="N",
+                   help="shard every launch over N devices (ray-axis "
+                        "shard_map + psum; 0 = single device, -1 = all "
+                        "visible devices). Results are bit-identical to the "
+                        "single-device run.")
 
 
 def _build_sim(args):
@@ -85,7 +90,13 @@ def _build_sim(args):
         params = r.apply_to(params)
         route = r.waypoints
     params = _apply_param_flags(params, args)
-    return mesh, Simulator(mesh, params, route=route)
+    device_mesh = None
+    shards = getattr(args, "shards", 0) or 0
+    if shards:
+        from uvtrace.parallel import make_ray_mesh
+
+        device_mesh = make_ray_mesh(None if shards < 0 else shards)
+    return mesh, Simulator(mesh, params, route=route, device_mesh=device_mesh)
 
 
 def cmd_info(args):
@@ -120,11 +131,28 @@ def cmd_compute(args):
         sim.finished = sim.curr_iterations >= sim.params.max_iterations
     profile = getattr(args, "profile", None)
     reporter = ProgressReporter(sim.params.max_iterations)
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    marker_kw = dict(
+        route=None if args.no_markers else sim.route,
+        floor_height=mesh.floor_height,
+        light_height=sim.params.light_height,
+        light_length=sim.params.light_length,
+        gamma=args.gamma,
+    )
 
     def _run():
         while not sim.finished:
             sim.run_iteration()
             reporter.update(sim.curr_iterations, sim.photon_map_size)
+            if args.watch:
+                # live view of the evolving heatmap, refreshed per iteration
+                # (the reference redraws every frame, myapp.cpp:156-177)
+                export_heatmap_png(
+                    out / "dose_live.png", mesh.tris,
+                    sim.dosage_map(ViewMode.DOSAGE), sim.params.min_dosage,
+                    args.threshold_view, **marker_kw,
+                )
 
     if profile:
         from uvtrace.utils.timing import device_trace
@@ -133,18 +161,18 @@ def cmd_compute(args):
             _run()
     else:
         _run()
-    out = Path(args.output)
-    out.mkdir(parents=True, exist_ok=True)
     dose = sim.dosage_map(ViewMode.DOSAGE)
     irr = sim.dosage_map(ViewMode.MAX_POWER)
     export_dose_npy(out / "dose_mJ_cm2.npy", dose)
     export_dose_npy(out / "irradiance_uW_cm2.npy", irr)
     if not args.no_render:
         export_heatmap_png(
-            out / "dose.png", mesh.tris, dose, sim.params.min_dosage, args.threshold_view
+            out / "dose.png", mesh.tris, dose, sim.params.min_dosage,
+            args.threshold_view, **marker_kw,
         )
         export_heatmap_png(
-            out / "irradiance.png", mesh.tris, irr, sim.params.min_power, args.threshold_view
+            out / "irradiance.png", mesh.tris, irr, sim.params.min_power,
+            args.threshold_view, **marker_kw,
         )
         export_legend_png(out / "legend.png", sim.params.min_dosage)
     if args.export_glb:
@@ -157,7 +185,9 @@ def cmd_compute(args):
         grid = sim.dose_grid(res=args.dose_grid)
         np.save(out / "dose_grid.npy", grid)
         export_grid_png(out / "dose_grid.png", grid, sim.params.min_dosage,
-                        args.threshold_view)
+                        args.threshold_view, gamma=args.gamma,
+                        route=None if args.no_markers else sim.route,
+                        aabb=mesh.aabb)
     d = np.asarray(dose)
     from uvtrace.i18n import tr
 
@@ -293,6 +323,16 @@ def main(argv=None):
     pc.add_argument("--dose-grid", type=int, default=0, metavar="RES",
                     help="also write a RES x RES top-down dose image "
                          "(BASELINE config 1: 256)")
+    pc.add_argument("--watch", action="store_true",
+                    help="re-export the heatmap after every iteration "
+                         "(dose_live.png — the reference redraws per frame, "
+                         "myapp.cpp:156-177)")
+    pc.add_argument("--no-markers", action="store_true",
+                    help="hide the route waypoint markers (the reference's "
+                         "'show lights' toggle, myapp.cpp:143-153)")
+    pc.add_argument("--gamma", action="store_true",
+                    help="sqrt gamma-encode PNG output (the reference ships "
+                         "with this commented out, template.cpp:159)")
     pc.set_defaults(fn=cmd_compute)
 
     pk = sub.add_parser("calibrate", help="calibrate lamp power vs a UV-meter reading")

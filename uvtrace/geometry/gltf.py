@@ -112,7 +112,9 @@ def load_glb(path: str | Path, primitive: int = 0, mesh_index: int = 0) -> Trian
 def _load_base_color_texture(gltf: dict, bin_chunk: bytes, prim: dict):
     """Base-color texture of the primitive's material (the room scan photo
     the reference shows in 'texture' view mode, mesh.cpp:166-199).
-    PNG images decode natively; other formats (JPEG) return None."""
+    PNG and JPEG both decode in-tree (io/png.py, io/jpeg.py) — phone LiDAR
+    scans ship JPEG textures almost exclusively, matching the reference's
+    stb_image coverage."""
     try:
         mat = gltf["materials"][prim["material"]]
         tex_info = mat["pbrMetallicRoughness"]["baseColorTexture"]
@@ -126,6 +128,10 @@ def _load_base_color_texture(gltf: dict, bin_chunk: bytes, prim: dict):
             from uvtrace.io.png import decode_png
 
             return decode_png(raw)
-        return None  # JPEG etc.: no dependency-free decoder; texture view disabled
+        if image.get("mimeType") == "image/jpeg" or raw[:2] == b"\xff\xd8":
+            from uvtrace.io.jpeg import decode_jpeg
+
+            return decode_jpeg(raw)
+        return None  # unknown format: texture view falls back to white
     except (KeyError, IndexError, TypeError):
         return None

@@ -33,7 +33,8 @@ def export_glb(
 ) -> None:
     """Write float32[T,3,3] triangles (flat, unindexed) with optional
     per-triangle RGB `colors` [T,3] (expanded per-vertex) or per-corner
-    [T,3,3]; optional uvs [T,3,2] and a PNG texture."""
+    [T,3,3]; optional uvs [T,3,2] and a base-color texture (`texture_png`
+    accepts PNG or JPEG bytes; the mime type is sniffed)."""
     tris = np.ascontiguousarray(tris, np.float32)
     t = tris.shape[0]
     positions = tris.reshape(-1, 3)
@@ -90,7 +91,8 @@ def export_glb(
     }
     if texture_png is not None:
         iv = add_view(texture_png)
-        gltf["images"] = [{"bufferView": iv, "mimeType": "image/png"}]
+        mime = "image/jpeg" if texture_png[:2] == b"\xff\xd8" else "image/png"
+        gltf["images"] = [{"bufferView": iv, "mimeType": mime}]
         gltf["samplers"] = [{}]
         gltf["textures"] = [{"source": 0, "sampler": 0}]
         gltf["materials"] = [

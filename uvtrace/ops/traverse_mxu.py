@@ -48,6 +48,7 @@ from uvtrace.ops.cluster import ClusteredScene
 BIG = np.float32(1e30)
 PACKET = 1024
 NFEAT = 16  # d(3), m=o x d(3), o(3), 1; padded to a sublane multiple
+K3 = 32  # bf16x3-packed contraction rows (29 used, padded to sublane x2)
 KBATCH = 16  # candidates extracted per vector->scalar crossing
 
 
@@ -55,56 +56,131 @@ class MxuScene(NamedTuple):
     """Device arrays for the MXU traversal (pytree)."""
 
     boxes: jax.Array  # f32[6, 8, L8] cluster AABBs: rows min.xyz,max.xyz;
-    #                   cluster c lives at (c // L8, c % L8); pads = +BIG
-    feat: jax.Array  # f32[L, NFEAT, 4*C] per-cluster feature tiles (below)
-    tri_idx_flat: jax.Array  # i32[L*C] padded slot -> original tri id (-1)
+    #                   cluster c lives at (c % 8, c // 8); pads = +BIG
+    feat: jax.Array  # f32[LG, NFEAT, 4*G*C] per-GROUP feature tiles (below)
+    feat3: jax.Array  # bf16[LG, K3, 4*G*C] bf16x3-packed tiles ("high" tier)
+    tri_idx_flat: jax.Array  # i32[LG*G*C] padded slot -> original tri id (-1)
 
 
-def build_mxu_scene(cs: ClusteredScene) -> MxuScene:
-    """Host-side: padded AABB planes + per-cluster Plücker feature tiles.
+def _bf16_split(x32: np.ndarray):
+    """(hi, lo) bf16 split of f32 values: hi + lo == x to ~16 mantissa bits."""
+    import ml_dtypes
 
-    feat[l, :, q*C + j] is the 16-coefficient vector of quantity q for the
-    cluster's j-th triangle; rows are the ray-feature basis
-    [dx,dy,dz, mx,my,mz, ox,oy,oz, 1, 0...]. Quantities: q=0,1,2 the edge
-    side tests, q=3 the t numerator. Padded (degenerate) triangles are all
-    zeros -> sum(sides)=0 -> rejected by the |den| >= 1e-5 test.
+    hi = x32.astype(ml_dtypes.bfloat16)
+    lo = (x32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _pack_feat3(feat_f32: np.ndarray) -> np.ndarray:
+    """Pack f32 feature tiles (..., NFEAT, M) into single-pass bf16x3 rows.
+
+    The MXU's systolic array is 128 deep, so a K=10 contraction pays for 128
+    rows regardless — the padding rows are FREE compute. bf16x3 (three
+    sequential passes f_hi.r_hi + f_hi.r_lo + f_lo.r_hi) therefore folds into
+    ONE pass by materializing each product term as its own contraction row:
+
+      rows  0..9  : f_hi[j]  paired with r_hi[j]   (j = d,m,o,1)
+      rows 10..18 : f_hi[j]  paired with r_lo[j]   (j = d,m,o; the constant
+                    1-row has r_lo == 0 and is dropped)
+      rows 19..28 : f_lo[j]  paired with r_hi[j]
+      rows 29..31 : zero padding (sublane alignment)
+
+    Same products, same f32 accumulation, 1/3 the MXU streaming time. The
+    ray-side rows are packed to match in _pack_rf3 / the fused kernel.
+    """
+    f32 = np.asarray(feat_f32, np.float32)
+    f_hi, f_lo = _bf16_split(f32)
+    shape = list(f32.shape)
+    shape[-2] = K3
+    out = np.zeros(shape, f_hi.dtype)
+    out[..., 0:10, :] = f_hi[..., 0:10, :]
+    out[..., 10:19, :] = f_hi[..., 0:9, :]
+    out[..., 19:29, :] = f_lo[..., 0:10, :]
+    return out
+
+
+def _pack_rf3(rf10: jax.Array) -> jax.Array:
+    """Ray-side counterpart of _pack_feat3: (G, 10, P) f32 -> (G, K3, P) bf16.
+
+    rows 0..9 r_hi; rows 10..18 r_lo (constant 1-row dropped, its lo is 0);
+    rows 19..28 r_hi again (paired with the f_lo rows); rows 29..31 zero.
+    """
+    hi = rf10.astype(jnp.bfloat16)
+    lo = (rf10 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g, _, p = rf10.shape
+    pad = jnp.zeros((g, K3 - 29, p), jnp.bfloat16)
+    return jnp.concatenate([hi, lo[:, 0:9], hi, pad], axis=1)
+
+
+def build_mxu_scene(cs: ClusteredScene, group: int = 1) -> MxuScene:
+    """Host-side: padded AABB planes + grouped Plücker feature tiles.
+
+    Clusters are packed into GROUPS of `group` consecutive clusters (the SAH
+    cluster builder emits DFS order, so consecutive clusters are spatial
+    siblings). Culling stays at per-cluster AABB granularity (tight boxes),
+    but the matmul runs once per GROUP on a static contiguous tile — the
+    weight-load and scalar-visit-loop overhead of the per-cluster matmul is
+    amortized `group`-fold with NO per-packet gather (the layout is built
+    here, once per scene).
+
+    feat[g, :, q*G*C + u*C + j] is the 16-coefficient vector of quantity q
+    for triangle j of member cluster u of group g; rows are the ray-feature
+    basis [dx,dy,dz, mx,my,mz, ox,oy,oz, 1, 0...]. Quantities: q=0,1,2 the
+    edge side tests, q=3 the t numerator. Within a quantity slice the column
+    index u*C + j is exactly the group-local slot, so the kernel's slot
+    arithmetic (gid * G*C + local) yields the same global flat slot order
+    cluster_id * C + lane as the ungrouped layout. Padded (degenerate)
+    triangles are all zeros -> sum(sides)=0 -> rejected by |den| >= 1e-5.
     """
     c_sz = cs.cluster_size
     assert c_sz % 8 == 0 and c_sz <= 512, c_sz
+    assert group in (1, 2, 4, 8), group
     l_count = cs.n_clusters
-    l8 = max(1, -(-l_count // 8))
+    l_pad = -(-l_count // group) * group  # multiple of `group`
+    l8 = max(1, -(-l_pad // 8))
     boxes = np.full((6, 8 * l8), BIG, np.float32)
     boxes[0:3, :l_count] = cs.box_min.T
     boxes[3:6, :l_count] = cs.box_max.T
-    boxes = boxes.reshape(6, 8, l8)
+    # column-major placement: cluster c at (row c % 8, col c // 8), so the
+    # `group` members of group g are consecutive rows of one column and the
+    # kernel reduces them with a sublane-axis min/any
+    boxes = boxes.reshape(6, l8, 8).swapaxes(1, 2).copy()
 
     a = cs.tris[:, :, 0].astype(np.float64)  # [L,C,3] f64 for feature prep
     b = cs.tris[:, :, 1].astype(np.float64)
     c = cs.tris[:, :, 2].astype(np.float64)
     n = np.cross(b - a, c - a)  # geometric normal (unnormalized)
-    feat = np.zeros((l_count, NFEAT, 4, c_sz), np.float32)
+    feat = np.zeros((l_pad, NFEAT, 4, c_sz), np.float32)
     for q, (edge_a, edge_b) in enumerate(((a, b), (b, c), (c, a))):
-        feat[:, 0:3, q] = np.moveaxis(np.cross(edge_a, edge_b), 2, 1)  # . d
-        feat[:, 3:6, q] = np.moveaxis(edge_b - edge_a, 2, 1)  # . m
-    feat[:, 6:9, 3] = np.moveaxis(-n, 2, 1)  # . o
-    feat[:, 9, 3] = np.einsum("ljk,ljk->lj", n, a)  # n . v0
+        feat[:l_count, 0:3, q] = np.moveaxis(np.cross(edge_a, edge_b), 2, 1)  # . d
+        feat[:l_count, 3:6, q] = np.moveaxis(edge_b - edge_a, 2, 1)  # . m
+    feat[:l_count, 6:9, 3] = np.moveaxis(-n, 2, 1)  # . o
+    feat[:l_count, 9, 3] = np.einsum("ljk,ljk->lj", n, a)  # n . v0
+    # (Lpad, NFEAT, 4, C) -> (LG, G, NFEAT, 4, C) -> (LG, NFEAT, 4, G, C)
+    lg = l_pad // group
+    feat = feat.reshape(lg, group, NFEAT, 4, c_sz)
+    feat = np.moveaxis(feat, 1, 3)  # (LG, NFEAT, 4, G, C)
+    feat = feat.reshape(lg, NFEAT, 4 * group * c_sz)
+    tri_idx = np.full((l_pad, c_sz), -1, np.int32)
+    tri_idx[:l_count] = cs.tri_idx
     return MxuScene(
         boxes=jnp.asarray(boxes),
-        feat=jnp.asarray(feat.reshape(l_count, NFEAT, 4 * c_sz)),
-        tri_idx_flat=jnp.asarray(cs.tri_idx.reshape(-1)),
+        feat=jnp.asarray(feat),
+        feat3=jnp.asarray(_pack_feat3(feat)),
+        tri_idx_flat=jnp.asarray(tri_idx.reshape(-1)),
     )
 
 
 def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
-            vlist, sems, *, precision, with_counts):
+            vlist, sems, *, precision, with_counts, group):
     pb_vals = [pb[0, 0, k] for k in range(12)]
     _trace(pb_vals, boxes, rfeat[0], feat, t_out, slot_out, counts, ebuf_v,
            ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-           precision=precision, with_counts=with_counts)
+           precision=precision, with_counts=with_counts, group=group)
 
 
 def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
-           vlist, sems, *, precision, with_counts):
+           vlist, sems, *, precision, with_counts, group=1):
     t_out[0] = jnp.full((1, PACKET), BIG)
     slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
     l8 = boxes.shape[2]
@@ -124,12 +200,25 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
     # An axis whose direction interval spans 0 contributes the full line.
     entry = jnp.full((8, l8), -BIG)
     exit_ = jnp.full((8, l8), BIG)
+    sbig = jnp.float32(1e18)  # half-line sentinel; |g|*sbig stays finite f32
     for ax in range(3):
         o_lo, o_hi = pb_vals[ax], pb_vals[3 + ax]
         d_lo, d_hi = pb_vals[6 + ax], pb_vals[9 + ax]
-        spans = jnp.logical_and(d_lo <= 0.0, d_hi >= 0.0)
-        i_lo = 1.0 / jnp.where(spans, jnp.float32(1.0), d_hi)
-        i_hi = 1.0 / jnp.where(spans, jnp.float32(1.0), d_lo)
+        # Only a STRICTLY two-sided direction interval (or the degenerate
+        # all-zero axis) leaves the axis unconstrained. A one-sided interval
+        # touching 0 (d_lo == 0 < d_hi, common for analytic stratum-cell
+        # bounds whose trig endpoints are exactly 0) is a HALF-line: the
+        # unbounded end of 1/d is a large finite sentinel, which keeps the
+        # other three interval products constraining. Treating touch-zero as
+        # spanning cost ~9x candidate overfetch on the fused path (measured).
+        spans = jnp.logical_or(
+            jnp.logical_and(d_lo < 0.0, d_hi > 0.0),
+            jnp.logical_and(d_lo == 0.0, d_hi == 0.0),
+        )
+        i_lo = 1.0 / jnp.where(d_hi == 0.0, jnp.float32(1.0), d_hi)
+        i_lo = jnp.where(d_hi == 0.0, -sbig, i_lo)
+        i_hi = 1.0 / jnp.where(d_lo == 0.0, jnp.float32(1.0), d_lo)
+        i_hi = jnp.where(d_lo == 0.0, sbig, i_hi)
         g_lo = boxes[ax] - o_hi  # (8, l8): hull of (box - O) over both planes
         g_hi = boxes[3 + ax] - o_lo
         p1, p2 = g_lo * i_lo, g_lo * i_hi
@@ -141,23 +230,35 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         entry = jnp.maximum(entry, s_lo)
         exit_ = jnp.minimum(exit_, s_hi)
     may_hit = jnp.logical_and(entry <= exit_, exit_ > 0.0)
-    idx2d = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, l8), 0) * l8
-        + jax.lax.broadcasted_iota(jnp.int32, (8, l8), 1)
+    # ---- group reduction: culling is per-cluster (tight boxes), the visit
+    # loop and matmul run per GROUP of `group` consecutive clusters. Cluster
+    # c sits at (row c % 8, col c // 8) (build_mxu_scene), so group
+    # g = col*nrb + rb owns rows [rb*group, (rb+1)*group) of column col and
+    # the reduction is a sublane-axis min. Pad clusters inside a real group
+    # are harmless even when the degenerate all-axes-span frustum marks them
+    # hit: their feat[] columns exist (zeros) and every pad triangle is
+    # rejected by the |den| >= 1e-5 test.
+    nrb = 8 // group
+    lg = feat.shape[0]  # number of groups
+    e_masked = jnp.where(may_hit, jnp.maximum(entry, 0.0), BIG)
+    e_grp = e_masked.reshape(nrb, group, l8).min(axis=1)  # (nrb, l8)
+    g_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (nrb, l8), 1) * nrb
+        + jax.lax.broadcasted_iota(jnp.int32, (nrb, l8), 0)
     )
-    # pad slots (idx >= real cluster count) MUST stay at BIG: when every
+    # groups beyond the real group count MUST stay at BIG: when every
     # direction axis spans 0 the slab test degenerates to "always hit", and a
-    # visited pad cluster would read feat[] out of bounds (garbage hits)
-    may_hit = jnp.logical_and(may_hit, idx2d < feat.shape[0])
+    # visited pad group would read feat[] out of bounds (garbage hits)
+    valid = jnp.logical_and(e_grp < BIG, g_idx < lg)
     # Packed sort keys: entry is >= 0, so its f32 bit pattern is monotone in
-    # value; the low `idx_bits` mantissa bits are replaced by the cluster id.
-    # min(keys) then yields BOTH the nearest cluster and a truncated-DOWN
+    # value; the low `idx_bits` mantissa bits are replaced by the group id.
+    # min(keys) then yields BOTH the nearest group and a truncated-DOWN
     # (i.e. still conservative) entry bound in one reduction per extraction.
-    idx_bits = max(1, (8 * l8 - 1).bit_length())
+    idx_bits = max(1, (nrb * l8 - 1).bit_length())
     idx_mask = jnp.int32((1 << idx_bits) - 1)
     ibig = jnp.int32(0x7F7FFFFF)  # bits of f32 max; sorts after everything
-    entry_bits = pltpu.bitcast(jnp.maximum(entry, 0.0), jnp.int32)
-    keys0 = jnp.where(may_hit, (entry_bits & ~idx_mask) | idx2d, ibig)  # (8, l8)
+    entry_bits = pltpu.bitcast(e_grp, jnp.int32)
+    keys0 = jnp.where(valid, (entry_bits & ~idx_mask) | g_idx, ibig)  # (nrb, l8)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, KBATCH), 1)
     # rf: (NFEAT, PACKET) ray-feature value (from HBM rays or the fused
     # in-kernel generator)
@@ -167,23 +268,15 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if precision == "high":
-        # manual bf16x3: Mosaic exposes only DEFAULT (1 bf16 pass) and
-        # HIGHEST (6 passes); three single-pass products on hi/lo splits give
-        # ~2^-16-of-magnitude absolute accuracy at half the HIGHEST cost
-        r_hi = rf.astype(jnp.bfloat16)
-        r_lo = (rf - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     def leaf(cid, t_ub):
         fc = feat[cid]
         if precision == "high":
-            f_hi = fc.astype(jnp.bfloat16)
-            f_lo = (fc - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            q = (
-                jax.lax.dot_general(f_hi, r_hi, **dot_kw)
-                + jax.lax.dot_general(f_hi, r_lo, **dot_kw)
-                + jax.lax.dot_general(f_lo, r_hi, **dot_kw)
-            )
+            # bf16x3 quality in ONE MXU pass: both operands arrive with the
+            # three product terms packed as extra contraction rows
+            # (_pack_feat3 / _pack_rf3) — the systolic array is 128 deep, so
+            # rows 10..28 ride the K-padding the K=10 layout wasted anyway.
+            # Replaced three sequential bf16 dots (measured 3x the cost).
+            q = jax.lax.dot_general(fc, rf, **dot_kw)
         else:
             q = jax.lax.dot_general(fc, rf, precision=precision, **dot_kw)
         # (4*c_sz, PACKET)
@@ -272,9 +365,9 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         jax.lax.fori_loop(0, vtotal, hist, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts", "group"))
 def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest",
-                         with_counts=False):
+                         with_counts=False, group=1):
     """o3/d3: f32[G, 1024, 3] packet-major rays."""
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
@@ -284,18 +377,20 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
     g_total = o3.shape[0]
     l_count = scene.feat.shape[0]
     c_sz = scene.feat.shape[2] // 4
-    vmax = scene.boxes.shape[2] * 8
+    vmax = scene.boxes.shape[2] * (8 // group)
     m3 = jnp.cross(o3, d3)
-    rfeat = jnp.concatenate(
-        [
-            d3,
-            m3,
-            o3,
-            jnp.ones((g_total, PACKET, 1), jnp.float32),
-            jnp.zeros((g_total, PACKET, NFEAT - 10), jnp.float32),
-        ],
-        axis=2,
-    ).swapaxes(1, 2)  # (G, NFEAT, PACKET); ray r of packet g = column r
+    rf10 = jnp.concatenate(
+        [d3, m3, o3, jnp.ones((g_total, PACKET, 1), jnp.float32)], axis=2
+    ).swapaxes(1, 2)  # (G, 10, PACKET); ray r of packet g = column r
+    if precision == "high":
+        rfeat = _pack_rf3(rf10)  # (G, K3, PACKET) bf16
+        feat_op = scene.feat3
+    else:
+        rfeat = jnp.concatenate(
+            [rf10, jnp.zeros((g_total, NFEAT - 10, PACKET), jnp.float32)], axis=1
+        )
+        feat_op = scene.feat
+    krows = rfeat.shape[1]
     pbounds = jnp.concatenate(
         [
             jnp.min(o3, axis=1),
@@ -308,12 +403,12 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
     ).reshape(g_total, 1, 16)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, precision=prec, with_counts=with_counts),
+        functools.partial(_kernel, precision=prec, with_counts=with_counts, group=group),
         grid=(g_total,),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
-            pl.BlockSpec((1, NFEAT, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, krows, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # feat tiles, fully resident
         ],
         out_specs=[
@@ -338,7 +433,7 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pbounds, scene.boxes, rfeat, scene.feat)
+    )(pbounds, scene.boxes, rfeat, feat_op)
     t, slot, counts = out
     t = t.reshape(g_total * PACKET)
     slot = slot.reshape(g_total * PACKET)
@@ -349,7 +444,7 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
 
 
 def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
-                 precision: str = "highest", **_):
+                 precision: str = "highest", group: int = 1, **_):
     """Closest-hit via the MXU cluster-intersection kernel (works for ANY
     rays, coherent or not — incoherent packets degrade to visiting more
     clusters, never to wrong results).
@@ -362,7 +457,7 @@ def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
     `traverse_mxu_slots` and remap at the bin level (slots_to_tri).
     """
     t, slot = traverse_mxu_slots(scene, orig, direction, interpret=interpret,
-                                 precision=precision)
+                                 precision=precision, group=group)
     hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
     return t, hit
 
@@ -374,6 +469,7 @@ def traverse_mxu_counts(
     *,
     interpret: bool = False,
     precision: str = "highest",
+    group: int = 1,
     **_,
 ):
     """Like traverse_mxu_slots but ALSO returns int32[L*C] per-slot hit
@@ -387,7 +483,8 @@ def traverse_mxu_counts(
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
     return _traverse_mxu_padded(
-        scene, o3, d3, interpret=interpret, precision=precision, with_counts=True
+        scene, o3, d3, interpret=interpret, precision=precision, with_counts=True,
+        group=group,
     )
 
 
@@ -398,6 +495,7 @@ def traverse_mxu_slots(
     *,
     interpret: bool = False,
     precision: str = "highest",
+    group: int = 1,
     **_,
 ):
     """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*C + lane)
@@ -412,7 +510,9 @@ def traverse_mxu_slots(
     assert r % PACKET == 0, (r, PACKET)
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
-    return _traverse_mxu_padded(scene, o3, d3, interpret=interpret, precision=precision)
+    return _traverse_mxu_padded(
+        scene, o3, d3, interpret=interpret, precision=precision, group=group
+    )
 
 
 # --------------------------------------------------------------------------
@@ -424,7 +524,7 @@ TWO_PI = np.float32(2.0 * np.pi)
 
 def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out,
                   rf_scr, ebuf_v, ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-                  *, precision, grid_dims, with_rays):
+                  *, precision, grid_dims, with_rays, group=1):
     """Generate one stratified 1024-ray packet in-kernel (pltpu PRNG), build
     its Plücker features in VMEM scratch, derive the packet frustum bounds
     ANALYTICALLY from the stratum cell (no vector->scalar reductions), then
@@ -438,11 +538,19 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
 
     @pl.when(pid == 0)
     def _():
-        # constant feature rows: 1-row (index 9) and the K padding
-        rf_scr[9:NFEAT, :] = jnp.concatenate(
-            [jnp.ones((1, PACKET), jnp.float32),
-             jnp.zeros((NFEAT - 10, PACKET), jnp.float32)], axis=0
-        )
+        if precision == "high":
+            # bf16x3-packed layout: constant 1-rows at 9 (r_hi) and 28
+            # (paired with f_lo of the n.v0 row); zero padding rows 29..31
+            one = jnp.ones((1, PACKET), jnp.bfloat16)
+            rf_scr[9:10, :] = one
+            rf_scr[28:29, :] = one
+            rf_scr[29:K3, :] = jnp.zeros((K3 - 29, PACKET), jnp.bfloat16)
+        else:
+            # constant feature rows: 1-row (index 9) and the K padding
+            rf_scr[9:NFEAT, :] = jnp.concatenate(
+                [jnp.ones((1, PACKET), jnp.float32),
+                 jnp.zeros((NFEAT - 10, PACKET), jnp.float32)], axis=0
+            )
 
     ih = pid // (gy * gphi)
     iy = (pid // gphi) % gy
@@ -472,34 +580,15 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
     )
     uh, uy, up = u[0:1], u[1:2], u[2:3]  # (1, PACKET) each
 
-    # same parameterization as ops/generate.generate_stratified
-    dy = -1.0 + 2.0 * (iyf + uy) / np.float32(gy)
-    phi = TWO_PI * (ipf + up) / np.float32(gphi)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - dy * dy))
-    dx = r * jnp.cos(phi)
-    dz = r * jnp.sin(phi)
-    oy = ly + (ihf + uh) / np.float32(gh) * llen
-    ox = jnp.full((1, PACKET), lx) + 0.0 * oy
-    oz = jnp.full((1, PACKET), lz) + 0.0 * oy
-
-    rf_scr[0:1, :] = dx
-    rf_scr[1:2, :] = dy
-    rf_scr[2:3, :] = dz
-    rf_scr[3:4, :] = oy * dz - lz * dy  # m = o x d (ox=lx, oz=lz constant)
-    rf_scr[4:5, :] = lz * dx - lx * dz
-    rf_scr[5:6, :] = lx * dy - oy * dx
-    rf_scr[6:7, :] = ox
-    rf_scr[7:8, :] = oy
-    rf_scr[8:9, :] = oz
-    if with_rays:
-        ro_out[0, 0:1, :] = ox
-        ro_out[0, 1:2, :] = oy
-        ro_out[0, 2:3, :] = oz
-        rd_out[0, 0:1, :] = dx
-        rd_out[0, 1:2, :] = dy
-        rd_out[0, 2:3, :] = dz
-
-    # ---- analytic per-cell frustum bounds (scalar, conservative+exact) ----
+    # ---- analytic per-cell bounds (scalar, conservative BY CONSTRUCTION) --
+    # Strategy: compute the cell's trig bounds first, snap near-zero
+    # endpoints to exactly 0 (fp cos(pi/2) etc. is ~1e-8 off; a sign-
+    # straddling sliver would force the slab test to treat the axis as
+    # unconstrained — measured 9x candidate overfetch), then CLIP the sampled
+    # trig values into the bounds. Every other sampled quantity (dy, r, oy)
+    # lies inside its bounds automatically because fp rounding of monotone
+    # operations is monotone; the product hulls below then bound the sampled
+    # dx/dz exactly, with no epsilon slack at all.
     ylo = -1.0 + 2.0 * iyf / np.float32(gy)
     yhi = -1.0 + 2.0 * (iyf + 1.0) / np.float32(gy)
     y2a, y2b = ylo * ylo, yhi * yhi
@@ -522,29 +611,73 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
     s_lo = jnp.where(
         (plo <= 3 * np.pi / 2) & (phi_ >= 3 * np.pi / 2), jnp.float32(-1.0), s_lo
     )
-    eps = jnp.float32(1e-6)  # absorb trig/uniform rounding at cell borders
+
+    def snap(v):  # quadrant-boundary trig noise -> exact 0 (keeps one-sided)
+        return jnp.where(jnp.abs(v) < 1e-6, jnp.float32(0.0), v)
+
+    c_lo, c_hi, s_lo, s_hi = snap(c_lo), snap(c_hi), snap(s_lo), snap(s_hi)
+
+    # same parameterization as ops/generate.generate_stratified
+    dy = -1.0 + 2.0 * (iyf + uy) / np.float32(gy)
+    phi = TWO_PI * (ipf + up) / np.float32(gphi)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - dy * dy))
+    dx = r * jnp.clip(jnp.cos(phi), c_lo, c_hi)
+    dz = r * jnp.clip(jnp.sin(phi), s_lo, s_hi)
+    oy = ly + (ihf + uh) / np.float32(gh) * llen
+    ox = jnp.full((1, PACKET), lx) + 0.0 * oy
+    oz = jnp.full((1, PACKET), lz) + 0.0 * oy
+
+    rows = (
+        dx, dy, dz,
+        oy * dz - lz * dy,  # m = o x d (ox=lx, oz=lz constant)
+        lz * dx - lx * dz,
+        lx * dy - oy * dx,
+        ox, oy, oz,
+    )
+    if precision == "high":
+        for j, v in enumerate(rows):
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rf_scr[j : j + 1, :] = v_hi
+            rf_scr[10 + j : 11 + j, :] = v_lo
+            rf_scr[19 + j : 20 + j, :] = v_hi
+    else:
+        for j, v in enumerate(rows):
+            rf_scr[j : j + 1, :] = v
+    if with_rays:
+        ro_out[0, 0:1, :] = ox
+        ro_out[0, 1:2, :] = oy
+        ro_out[0, 2:3, :] = oz
+        rd_out[0, 0:1, :] = dx
+        rd_out[0, 1:2, :] = dy
+        rd_out[0, 2:3, :] = dz
 
     def prod_hull(lo, hi):
+        # 4-corner interval product; fp-monotone multiplication keeps every
+        # clipped sample inside, so no epsilon is needed (and none is added:
+        # an epsilon would re-create sign-straddling intervals at exact-zero
+        # endpoints, defeating the one-sided slab handling in _trace)
         p1, p2, p3, p4 = rmin * lo, rmin * hi, rmax * lo, rmax * hi
         return (
-            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)) - eps,
-            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)) + eps,
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
         )
 
     dxlo, dxhi = prod_hull(c_lo, c_hi)
     dzlo, dzhi = prod_hull(s_lo, s_hi)
-    oylo = ly + ihf / np.float32(gh) * llen - eps
-    oyhi = ly + (ihf + 1.0) / np.float32(gh) * llen + eps
+    oylo = ly + ihf / np.float32(gh) * llen
+    oyhi = ly + (ihf + 1.0) / np.float32(gh) * llen
     pb_vals = [lx, oylo, lz, lx, oyhi, lz,
-               dxlo, ylo - eps, dzlo, dxhi, yhi + eps, dzhi]
+               dxlo, ylo, dzlo, dxhi, yhi, dzhi]
 
     _trace(pb_vals, boxes, rf_scr[:, :], feat, t_out, slot_out, counts, ebuf_v,
            ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-           precision=precision, with_counts=True)
+           precision=precision, with_counts=True, group=group)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "height_bands", "interpret", "precision", "with_rays")
+    jax.jit,
+    static_argnames=("n", "height_bands", "interpret", "precision", "with_rays", "group"),
 )
 def fused_trace_counts(
     scene: MxuScene,
@@ -557,6 +690,7 @@ def fused_trace_counts(
     height_bands: int = 4,
     interpret: bool = False,
     with_rays: bool = False,
+    group: int = 1,
     **_,
 ):
     """Fused generate->extend->histogram: one kernel launch per chunk; the
@@ -578,7 +712,7 @@ def fused_trace_counts(
     }[precision]
     l_count = scene.feat.shape[0]
     c_sz = scene.feat.shape[2] // 4
-    vmax = scene.boxes.shape[2] * 8
+    vmax = scene.boxes.shape[2] * (8 // group)
     kd = jax.random.key_data(key).astype(jnp.uint32)
     gpi = jnp.zeros((1, 1, 8), jnp.int32)
     gpi = gpi.at[0, 0, 0].set(kd[0].astype(jnp.int32)).at[0, 0, 1].set(kd[1].astype(jnp.int32))
@@ -589,7 +723,8 @@ def fused_trace_counts(
 
     if with_rays:
         kernel = functools.partial(
-            _fused_kernel, precision=prec, grid_dims=grid_dims, with_rays=True
+            _fused_kernel, precision=prec, grid_dims=grid_dims, with_rays=True,
+            group=group,
         )
         ray_specs = [
             pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -603,7 +738,8 @@ def fused_trace_counts(
         def kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, *scratch):
             _fused_kernel(
                 gpi, gpf, boxes, feat, t_out, slot_out, counts, None, None,
-                *scratch, precision=prec, grid_dims=grid_dims, with_rays=False
+                *scratch, precision=prec, grid_dims=grid_dims, with_rays=False,
+                group=group,
             )
 
         ray_specs, ray_shapes = [], []
@@ -629,7 +765,9 @@ def fused_trace_counts(
         ]
         + ray_shapes,
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, PACKET), jnp.float32),
+            pltpu.VMEM((K3, PACKET), jnp.bfloat16)
+            if precision == "high"
+            else pltpu.VMEM((NFEAT, PACKET), jnp.float32),
             pltpu.VMEM((1, KBATCH), jnp.float32),
             pltpu.VMEM((1, KBATCH), jnp.int32),
             pltpu.SMEM((1, KBATCH), jnp.float32),
@@ -641,7 +779,7 @@ def fused_trace_counts(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(gpi, gpf, scene.boxes, scene.feat)
+    )(gpi, gpf, scene.boxes, scene.feat3 if precision == "high" else scene.feat)
     t, slot, counts = out[0], out[1], out[2]
     t = t.reshape(g_total * PACKET)
     slot = jnp.where(t >= BIG, -1, slot.reshape(g_total * PACKET))

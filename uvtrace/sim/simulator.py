@@ -58,6 +58,7 @@ def launch_counts(
     tri_e2=None,
     slot_map=None,
     extend_counts_fn=None,
+    chunk_offset=0,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
 
@@ -72,8 +73,14 @@ def launch_counts(
     slot_map is given: the hot loop then histograms in padded-slot space
     (gather-free) and remaps slot bins to triangles once at the end
     (acc_ops.slots_to_tri).
+    chunk_offset (traced): global index of this call's first chunk. All RNG
+    folding (photon ids in reference mode, chunk keys, bounce keys) uses the
+    GLOBAL chunk index, so a sharded launch where device d runs chunks
+    [d*k, (d+1)*k) draws bit-identically the same photon population as a
+    single-device launch of all n*ndev photons (tests/test_parallel.py).
     """
     n_chunks = max(1, (n + chunk - 1) // chunk)
+    chunk_offset = jnp.asarray(chunk_offset, jnp.int32)
     # bounce/texel modes need original ids per ray anyway; pure direct
     # lighting counts in padded-slot space and remaps bins once at the end
     slot_space = slot_map is not None and atlas is None and max_bounces == 0
@@ -94,34 +101,40 @@ def launch_counts(
         return acc_ops.hit_counts(slots, n_texels, method)
 
     def one_chunk(carry, i):
-        counts, tex_counts = carry
-        start = i * chunk
+        counts, tex_counts, overflow = carry
+        gi = chunk_offset + i  # global chunk index (shard-aware RNG stream)
         if sampler == "reference":
             rays = gen_ops.generate_reference(
-                chunk, lamp_xyz, light_length, global_seed=rng_in, start=start
+                chunk, lamp_xyz, light_length, global_seed=rng_in, start=gi * chunk
             )
         elif sampler == "stratified":
-            key = jax.random.fold_in(rng_in, i)
+            key = jax.random.fold_in(rng_in, gi)
             rays = gen_ops.generate_stratified(
                 key, chunk, lamp_xyz, light_length, packet=min(1024, chunk)
             )
         else:
-            key = jax.random.fold_in(rng_in, i)
+            key = jax.random.fold_in(rng_in, gi)
             rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
         if counts_mode:
             _, _, counts_chunk = extend_counts_fn(
                 scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
             )
-            return (counts + counts_chunk, tex_counts), None
+            return (counts + counts_chunk, tex_counts, overflow), None
         res = extend_fn(
             scene, rays.orig, rays.dir, lamp_xyz=lamp_xyz, light_length=light_length
         )
         t_hit, hit_ids = res[0], res[1]
+        if len(res) > 2:
+            # budgeted backends (traverse_clustered with return_overflow)
+            # report dropped clusters: a nonzero total means possible silent
+            # hit loss — the Simulator raises (dose UNDER-estimation is the
+            # dangerous direction in a disinfection simulator)
+            overflow = overflow + res[2]
         if slot_map is not None and not slot_space:
             # bounce/texel geometry lookups need original ids (per-ray gather)
             hit_ids = jnp.where(hit_ids >= 0, slot_map[jnp.maximum(hit_ids, 0)], -1)
-        # mask rays beyond n in the last (padded) chunk
-        valid = start + jnp.arange(chunk) < n
+        # mask rays beyond n in the last (padded) chunk — LOCAL index
+        valid = i * chunk + jnp.arange(chunk) < n
         hit_ids = jnp.where(valid, hit_ids, -1)
         counts = counts + acc_ops.hit_counts(hit_ids, n_bins, method)
         if atlas is not None:
@@ -140,7 +153,7 @@ def launch_counts(
                 base_key = rng_in
             orig, direction, alive = rays.orig, rays.dir, valid
             for b in range(max_bounces):
-                kb = jax.random.fold_in(jax.random.fold_in(base_key, 7919 + b), i)
+                kb = jax.random.fold_in(jax.random.fold_in(base_key, 7919 + b), gi)
                 orig, direction, alive = bounce_rays(
                     kb, orig, direction, t_hit, hit_ids, normals, reflectance, alive
                 )
@@ -154,24 +167,27 @@ def launch_counts(
                     scene, orig, direction, lamp_xyz=lamp_xyz, light_length=light_length
                 )
                 t_hit, hit_b = res[0], res[1]
+                if len(res) > 2:
+                    overflow = overflow + res[2]
                 if slot_map is not None:
                     hit_b = jnp.where(hit_b >= 0, slot_map[jnp.maximum(hit_b, 0)], -1)
                 hit_ids = jnp.where(alive, hit_b, -1)
                 counts = counts + acc_ops.hit_counts(hit_ids, t_count, method)
                 if atlas is not None:
                     tex_counts = tex_counts + texel_counts_of(orig, direction, t_hit, hit_ids)
-        return (counts, tex_counts), None
+        return (counts, tex_counts, overflow), None
 
     init = (
         jnp.zeros((n_bins,), jnp.int32),
         jnp.zeros((n_texels,), jnp.int32) if atlas is not None else jnp.zeros((1,), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
-    (counts, tex_counts), _ = jax.lax.scan(
+    (counts, tex_counts, overflow), _ = jax.lax.scan(
         one_chunk, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
     if slot_space:
         counts = acc_ops.slots_to_tri(counts, slot_map, t_count)
-    return counts, tex_counts
+    return counts, tex_counts, overflow
 
 
 def _next_pow2(n: int) -> int:
@@ -200,12 +216,32 @@ class Simulator:
         max_leaf_size: Optional[int] = 8,
         cluster_size: Optional[int] = None,
         max_clusters: int = 32,
+        device_mesh=None,
     ):
+        """device_mesh: optional jax.sharding.Mesh with a 'rays' axis. When
+        given, every launch runs the SAME chunked pipeline shard_mapped over
+        the ray axis: each device scans its own chunk range (global-index RNG
+        keys, so results are bit-identical to the single-device run), bins
+        hits locally, and ONE psum per launch reduces the count partials —
+        the collective that replaces the reference's atomic_inc contention
+        (cl/extend.cl:95-98). Scene/BVH stay replicated (a few MB).
+        """
         self.mesh = mesh
         self.params = params
         self.route: list[LightPos] = route if route is not None else [LightPos(0.0, 0.0, 1.0)]
         self.areas = jnp.asarray(mesh.areas)
         self.ray_chunk = int(ray_chunk)
+        self.device_mesh = device_mesh
+        self._n_dev = 1
+        if device_mesh is not None:
+            import math
+
+            self._n_dev = math.prod(device_mesh.shape.values())
+            assert tuple(device_mesh.axis_names) == ("rays",), (
+                "Simulator shards over a 1-D 'rays' mesh; 2-D rays x texels "
+                "layouts are served by uvtrace.parallel.sharded_texel_counts"
+            )
+        self._sharded_cache = {}
 
         backend = params.traversal
         if backend == "auto":
@@ -254,11 +290,14 @@ class Simulator:
                 )
 
                 self.scene = build_mxu_scene(self.clusters)
+                # off-TPU (tests, CPU device meshes) the kernel runs in
+                # pallas interpret mode — same code path, exact semantics
+                interp = jax.default_backend() != "tpu"
                 self._extend = functools.partial(
-                    traverse_mxu_slots, precision=params.precision
+                    traverse_mxu_slots, precision=params.precision, interpret=interp
                 )
                 self._extend_counts = functools.partial(
-                    traverse_mxu_counts, precision=params.precision
+                    traverse_mxu_counts, precision=params.precision, interpret=interp
                 )
                 self._slot_map = self.scene.tri_idx_flat
                 # the kernel consumes whole 1024-ray packets
@@ -272,7 +311,19 @@ class Simulator:
                 self.ray_chunk = max(1024, self.ray_chunk)
             else:
                 self.scene = cluster_arrays(self.clusters)
-                self._extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
+                # return_overflow: the per-packet cluster budget must never
+                # drop hits SILENTLY — the reference's DFS visits every
+                # overlapped node (cl/extend.cl:40-81), so a budget cut is a
+                # correctness bug. _single_light audits the overflow count
+                # after every launch and retries with an escalated budget
+                # (same RNG -> same photons, just none dropped).
+                self._l_count = self.clusters.n_clusters
+                self._max_clusters = min(max_clusters, self._l_count)
+                self._extend = functools.partial(
+                    traverse_clustered,
+                    max_clusters=self._max_clusters,
+                    return_overflow=True,
+                )
         self.normals = jnp.asarray(mesh.normals)
         self.reflectance = jnp.full((mesh.triangle_count,), params.reflectance, jnp.float32)
         self.atlas = None
@@ -352,13 +403,33 @@ class Simulator:
             1024 if self.backend in ("pallas", "mxu") else 1,
             min(self.ray_chunk, _next_pow2(n)),
         )
-        if self.params.sampler == "stratified":
+        if self.device_mesh is not None:
+            # every shard scans whole chunks: round n up to ndev * chunk
+            step = self._n_dev * chunk
+            n = -(-n // step) * step
+        elif self.params.sampler == "stratified":
             # stratified cells tile whole chunks; a masked tail would drop
             # specific strata and bias the sphere coverage — trace whole
             # chunks instead and normalize by the true count (photon_map_size)
             n = -(-n // chunk) * chunk
         self._launch_n = n
-        counts, tex_counts = launch_counts(
+        counts, tex_counts = self._launch_audited(rng_in, lamp_xyz, n, chunk)
+        self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
+            self.photon_map, self.max_photon_map, counts, lamp.duration
+        )
+        if self.atlas is not None:
+            self.photon_map_tex, self.max_photon_map_tex = acc_ops.accumulate_dose(
+                self.photon_map_tex, self.max_photon_map_tex, tex_counts, lamp.duration
+            )
+        if self.params.sampler == "reference":
+            self.global_seed = np.uint32(rng_ops.advance_global_seed(lamp_xyz, rng_in))
+        self.photon_map_size += n
+        return counts
+
+    def _launch_once(self, rng_in, lamp_xyz, n: int, chunk: int):
+        if self.device_mesh is not None:
+            return self._launch_sharded(rng_in, lamp_xyz, n, chunk)
+        return launch_counts(
             self.scene,
             rng_in,
             lamp_xyz,
@@ -380,17 +451,111 @@ class Simulator:
             slot_map=self._slot_map,
             extend_counts_fn=self._extend_counts,
         )
-        self.photon_map, self.max_photon_map = acc_ops.accumulate_dose(
-            self.photon_map, self.max_photon_map, counts, lamp.duration
-        )
-        if self.atlas is not None:
-            self.photon_map_tex, self.max_photon_map_tex = acc_ops.accumulate_dose(
-                self.photon_map_tex, self.max_photon_map_tex, tex_counts, lamp.duration
+
+    def _launch_audited(self, rng_in, lamp_xyz, n: int, chunk: int):
+        """One lamp launch, with the cluster-budget audit for the budgeted
+        (clustered) backend: the traversal reports how many overlapped
+        clusters the per-packet `max_clusters` budget dropped; any drop can
+        lose hits, so the launch is REDONE with an escalated budget (same
+        rng_in -> bit-identical photons) until nothing is dropped. The
+        reference's DFS visits every overlapped node (cl/extend.cl:40-81);
+        silently under-counting dose is the one unacceptable failure mode in
+        a disinfection simulator."""
+        import warnings
+
+        from uvtrace.ops.traverse_clustered import traverse_clustered
+
+        while True:
+            counts, tex_counts, overflow = self._launch_once(rng_in, lamp_xyz, n, chunk)
+            if self.backend != "clustered":
+                return counts, tex_counts
+            dropped = int(overflow)  # host sync, once per launch (the
+            #   reference syncs every frame too: clFinish, myapp.cpp:165)
+            if dropped == 0:
+                return counts, tex_counts
+            if self._max_clusters >= self._l_count:
+                raise RuntimeError(
+                    "clustered traversal dropped candidate clusters even at "
+                    "the maximum budget — this should be impossible; please "
+                    "report (or use traversal='mxu'/'jax')."
+                )
+            new_budget = min(self._l_count, self._max_clusters * 4)
+            warnings.warn(
+                f"per-packet cluster budget {self._max_clusters} dropped "
+                f"{dropped} candidate cluster(s); retrying the launch with "
+                f"budget {new_budget}. Incoherent rays (iid samplers, small "
+                "launches, bounces) need large budgets — traversal='mxu' is "
+                "budget-free and faster on TPU.",
+                RuntimeWarning,
+                stacklevel=3,
             )
-        if self.params.sampler == "reference":
-            self.global_seed = np.uint32(rng_ops.advance_global_seed(lamp_xyz, rng_in))
-        self.photon_map_size += n
-        return counts
+            self._max_clusters = new_budget
+            self._extend = functools.partial(
+                traverse_clustered, max_clusters=new_budget, return_overflow=True
+            )
+            self._sharded_cache.clear()
+
+    def _launch_sharded(self, rng_in, lamp_xyz, n: int, chunk: int):
+        """The multi-chip flavor of one lamp launch: launch_counts shard_mapped
+        over the device mesh's `rays` axis. Device d scans global chunks
+        [d*k, (d+1)*k) — the RNG folds the GLOBAL chunk index, so the photon
+        population (and therefore every count) is bit-identical to the
+        single-device run. One psum per launch reduces per-triangle (and
+        per-texel) partials over ICI — the TPU-native replacement for the
+        reference's atomic_inc on global memory (cl/extend.cl:95-98;
+        SURVEY.md §2 'Distributed communication backend')."""
+        from jax.sharding import PartitionSpec as P
+
+        cache_key = (n, chunk, self.params.sampler, self.params.max_bounces)
+        fn = self._sharded_cache.get(cache_key)
+        if fn is None:
+            chunks_per_dev = n // self._n_dev // chunk
+            static = dict(
+                t_count=self.triangle_count,
+                n=n // self._n_dev,
+                chunk=chunk,
+                sampler=self.params.sampler,
+                method=self.params.accumulate_method,
+                extend_fn=self._extend,
+                max_bounces=self.params.max_bounces,
+                n_texels=self.atlas.n_slots if self.atlas is not None else 0,
+                extend_counts_fn=self._extend_counts,
+            )
+
+            def shard_fn(scene, rng, lamp, ll, aux):
+                dev = jax.lax.axis_index("rays")
+                counts, tex, ov = launch_counts(
+                    scene, rng, lamp, ll,
+                    chunk_offset=dev * chunks_per_dev, **static, **aux,
+                )
+                return (
+                    jax.lax.psum(counts, "rays"),
+                    jax.lax.psum(tex, "rays"),
+                    jax.lax.psum(ov, "rays"),
+                )
+
+            fn = jax.jit(
+                jax.shard_map(
+                    shard_fn,
+                    mesh=self.device_mesh,
+                    in_specs=(P(), P(), P(), P(), P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,  # pallas outputs carry no vma annotations
+                )
+            )
+            self._sharded_cache[cache_key] = fn
+        aux = dict(
+            normals=self.normals if self.params.max_bounces else None,
+            reflectance=self.reflectance if self.params.max_bounces else None,
+            atlas=self.atlas,
+            tri_v0=self._tri_v0 if self.atlas is not None else None,
+            tri_e1=self._tri_e1 if self.atlas is not None else None,
+            tri_e2=self._tri_e2 if self.atlas is not None else None,
+            slot_map=self._slot_map,
+        )
+        return fn(
+            self.scene, rng_in, lamp_xyz, jnp.float32(self.params.light_length), aux
+        )
 
     def run_iteration(self):
         """One full iteration over all route waypoints

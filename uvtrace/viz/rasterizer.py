@@ -93,25 +93,35 @@ def _render(tris, colors, view, fov_deg, width=640, height=480, chunk=256):
     return img
 
 
+def default_camera(mesh_tris) -> Camera:
+    """Look-at from above the scene diagonal (used when no camera.xml)."""
+    v = np.asarray(mesh_tris, np.float32).reshape(-1, 3)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    center = (lo + hi) / 2
+    size = float(np.linalg.norm(hi - lo))
+    eye = center + np.array([0.45, 0.75, 0.45]) * size
+    return Camera.look_at(eye, center)
+
+
 def render_heatmap(
     mesh_tris,
     colors,
     camera: Camera | None = None,
     width: int = 640,
     height: int = 480,
+    gamma: bool = False,
 ) -> np.ndarray:
     """Render per-triangle RGB colors to a uint8 image [H,W,3].
 
     camera: defaults to a look-at from above the scene diagonal.
+    gamma: sqrt-encode the output. The reference's display path is LINEAR —
+    the template's gamma blit shader ships with the sqrt commented out
+    (template/template.cpp:159: "f=/*sqrt*/(texture(c,u))") — so linear is
+    the parity default and sqrt is opt-in (CLI --gamma).
     """
     tris = jnp.asarray(mesh_tris, jnp.float32)
     if camera is None:
-        lo = np.asarray(tris.reshape(-1, 3).min(axis=0))
-        hi = np.asarray(tris.reshape(-1, 3).max(axis=0))
-        center = (lo + hi) / 2
-        size = float(np.linalg.norm(hi - lo))
-        eye = center + np.array([0.45, 0.75, 0.45]) * size
-        camera = Camera.look_at(eye, center)
+        camera = default_camera(mesh_tris)
     img = _render(
         tris,
         jnp.asarray(colors, jnp.float32),
@@ -120,4 +130,77 @@ def render_heatmap(
         width=width,
         height=height,
     )
-    return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    img = jnp.clip(img, 0.0, 1.0)
+    if gamma:
+        img = jnp.sqrt(img)
+    return np.asarray(img * 255.0).astype(np.uint8)
+
+
+def project_points(points, camera: Camera, width: int, height: int):
+    """World points [N,3] -> (screen xy [N,2], view depth [N]) — the same
+    transform Draw3DLine applies (myapp.cpp:43-51)."""
+    v = np.asarray(points, np.float64).reshape(-1, 3)
+    vh = np.concatenate([v, np.ones((len(v), 1))], axis=1)
+    cam = (np.asarray(camera.view, np.float64) @ vh.T).T
+    z = -cam[:, 2]
+    f = 1.0 / np.tan(np.radians(camera.fov_deg) / 2.0)
+    aspect = width / height
+    zs = np.maximum(z, 1e-6)
+    sx = (cam[:, 0] * f / aspect / zs * 0.5 + 0.5) * width
+    sy = (1.0 - (cam[:, 1] * f / zs * 0.5 + 0.5)) * height
+    return np.stack([sx, sy], axis=1), z
+
+
+def _paint_line(img, p0, p1, color, thickness=3):
+    h, w = img.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1])) * 2) + 2
+    xs = np.linspace(p0[0], p1[0], n)
+    ys = np.linspace(p0[1], p1[1], n)
+    r = thickness // 2
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            xi = np.clip(np.round(xs + dx).astype(int), 0, w - 1)
+            yi = np.clip(np.round(ys + dy).astype(int), 0, h - 1)
+            keep = (xs + dx >= 0) & (xs + dx < w) & (ys + dy >= 0) & (ys + dy < h)
+            img[yi[keep], xi[keep]] = color
+
+
+def draw_route_markers(
+    img: np.ndarray,
+    camera: Camera,
+    route,
+    floor_height: float,
+    light_height: float,
+    light_length: float,
+    selected: int = -1,
+) -> np.ndarray:
+    """Draw every waypoint's lamp rod as a 3-px projected line — white, the
+    selected lamp (255,100,100) — exactly the reference's marker overlay
+    (myapp.cpp:140-153: Draw3DLine from the rod base to base+lightLength).
+    Mutates and returns the uint8 [H,W,3] image."""
+    h, w = img.shape[:2]
+    for i, wp in enumerate(route):
+        base = np.array([wp.x, floor_height + light_height, wp.y])
+        top = base + np.array([0.0, light_length, 0.0])
+        (p0, p1), z = project_points(np.stack([base, top]), camera, w, h)
+        if z.min() <= 1e-4:
+            continue  # behind the camera
+        color = (255, 100, 100) if i == selected else (255, 255, 255)
+        _paint_line(img, p0, p1, np.array(color, np.uint8))
+    return img
+
+
+def draw_route_markers_grid(
+    img: np.ndarray, aabb, route, selected: int = -1, cross: int = 4
+) -> np.ndarray:
+    """Waypoint crosses on a top-down dose-grid image (Simulator.dose_grid
+    pixel mapping: x -> column over aabb x-range, z -> row over z-range)."""
+    lo, hi = np.asarray(aabb[0]), np.asarray(aabb[1])
+    h, w = img.shape[:2]
+    for i, wp in enumerate(route):
+        cx = (wp.x - lo[0]) / max(hi[0] - lo[0], 1e-9) * (w - 1)
+        cy = (wp.y - lo[2]) / max(hi[2] - lo[2], 1e-9) * (h - 1)
+        color = np.array((255, 100, 100) if i == selected else (255, 255, 255), np.uint8)
+        _paint_line(img, (cx - cross, cy), (cx + cross, cy), color, thickness=1)
+        _paint_line(img, (cx, cy - cross), (cx, cy + cross), color, thickness=1)
+    return img
