@@ -1,14 +1,28 @@
 """Benchmark: rays/sec/chip over the extend(+histogram)+shade pipeline.
 
-Runs the flagship configuration on the attached TPU chip: testroomopt.glb
-(the reference's shipped scene), stratified generation, the fastest available
-traversal backend (MXU cluster-intersection kernel, slot-space histograms),
-and the dose shade — i.e. the same work the reference times per iteration
-(myapp.cpp:166-169: generate + extend + accumulate per frame).
+Default mode (the driver contract) prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} for the flagship single-chip
+configuration: testroomopt.glb (the reference's shipped scene), stratified
+generation, the fastest available traversal backend (MXU cluster-intersection
+kernel, slot-space histograms), and the dose shade — i.e. the same work the
+reference times per iteration (myapp.cpp:166-169: generate + extend +
+accumulate per frame).
 
 Iterations run inside ONE jit via lax.scan: per-dispatch host->TPU overhead
 (measured 30-40 ms through the remote-chip tunnel) would otherwise dominate,
 and the production pipeline (launch_counts) amortizes dispatches the same way.
+
+Scaling mode (`python bench.py --scaling [--devices N]`, also
+`python -m uvtrace bench --scaling`) measures the PRODUCT multi-device path —
+Simulator(device_mesh=make_ray_mesh(d)) -> sharded_launch_fn ->
+launch_counts — at d = 1, 2, 4, ... devices (weak scaling: constant photons
+per device) and prints one JSON row per device count:
+{"devices", "rays_per_sec", "rays_per_sec_per_device", "efficiency"} with
+efficiency = rate_d / (d * rate_1) — the BASELINE multi-chip metric
+(">= 85% efficiency at 2 hosts"). On a single-real-chip host only d=1 runs;
+use JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 (or
+--platform cpu, which sets both) for a virtual-mesh smoke run, and a real
+multi-chip slice for hardware numbers.
 
 Baseline note: the reference publishes NO throughput numbers (BASELINE.md).
 The only quantified performance statement is the requirement "compute the
@@ -16,35 +30,38 @@ dosage map within 5 minutes" for 335M photons (Report §1.2) = 1.118 Mrays/s.
 `vs_baseline` is measured against that requirement floor; interpret it as
 "x times faster than the reference's stated requirement", not vs. a measured
 OpenCL run (which this environment cannot execute).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 REQUIREMENT_RAYS_PER_SEC = 335_544_320 / 300.0  # Report §1.2 floor
 
 
-def main():
+def _load_scene_mesh():
     from uvtrace.geometry.gltf import load_glb
     from uvtrace.geometry.procedural import make_box_room
+
+    scene_path = os.path.join(os.path.dirname(__file__), "assets", "testroomopt.glb")
+    if os.path.exists(scene_path):
+        return load_glb(scene_path)
+    return make_box_room(subdivisions=48, clutter=24)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from uvtrace.ops import accumulate as acc_ops
     from uvtrace.ops import generate as gen_ops
     from uvtrace.ops import shade as shade_ops
     from uvtrace.ops.cluster import build_clusters
 
-    scene_path = os.path.join(os.path.dirname(__file__), "assets", "testroomopt.glb")
-    if os.path.exists(scene_path):
-        mesh = load_glb(scene_path)
-    else:
-        mesh = make_box_room(subdivisions=48, clutter=24)
+    mesh = _load_scene_mesh()
     t_count = mesh.triangle_count
     lamp = jnp.array([0.0, mesh.floor_height + 0.8, 0.0], jnp.float32)
     areas = jnp.asarray(mesh.areas)
@@ -126,5 +143,104 @@ def main():
     )
 
 
+def scaling_rows(device_counts=None, rays_per_device=None, iters=3, scene_mesh=None):
+    """Measure the product sharded path at each device count; returns the
+    list of result-row dicts (also usable in-process by tests)."""
+    import jax
+
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.parallel import make_ray_mesh
+    from uvtrace.sim import SimParams, Simulator
+
+    avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]
+    if max(device_counts) > avail:
+        raise SystemExit(
+            f"bench --scaling: {max(device_counts)} devices requested, "
+            f"{avail} visible (JAX_PLATFORMS={jax.default_backend()}); use "
+            "--platform cpu for a virtual smoke mesh"
+        )
+    if rays_per_device is None:
+        rays_per_device = (1 << 20) if jax.default_backend() == "tpu" else (1 << 13)
+    mesh = scene_mesh if scene_mesh is not None else _load_scene_mesh()
+
+    rows = []
+    base_per_dev = None
+    for d in device_counts:
+        sim = Simulator(
+            mesh,
+            SimParams(
+                photon_count=d * rays_per_device,
+                max_iterations=iters + 1,
+                sampler="stratified",
+            ),
+            route=[LightPos(0.0, 0.0, 1.0)],
+            ray_chunk=min(rays_per_device, 1 << 20),
+            device_mesh=make_ray_mesh(d),
+        )
+        sim.run_iteration()  # compile + warmup
+        jax.block_until_ready(sim.photon_map)
+        t0 = time.time()
+        for _ in range(iters):
+            sim.run_iteration()
+        jax.block_until_ready(sim.photon_map)
+        dt = (time.time() - t0) / iters
+        rate = sim._launch_n / dt  # photons actually traced per iteration
+        per_dev = rate / d
+        if base_per_dev is None:
+            base_per_dev = per_dev
+        rows.append(
+            {
+                "devices": d,
+                "rays_per_sec": round(rate, 1),
+                "rays_per_sec_per_device": round(per_dev, 1),
+                "efficiency": round(per_dev / base_per_dev, 4),
+                "backend": sim.backend,
+                "platform": jax.default_backend(),
+            }
+        )
+    return rows
+
+
+def scaling_main(args):
+    for row in scaling_rows(
+        device_counts=args.devices, rays_per_device=args.rays, iters=args.iters
+    ):
+        print(json.dumps(row))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="uvtrace throughput benchmark")
+    p.add_argument("--scaling", action="store_true",
+                   help="multi-device weak-scaling rows via the product "
+                        "sharded path (one JSON row per device count)")
+    p.add_argument("--devices", type=int, nargs="*", default=None,
+                   metavar="N", help="device counts to measure (default: "
+                   "powers of two up to the visible device count)")
+    p.add_argument("--rays", type=int, default=None,
+                   help="photons per device per iteration")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="cpu = force an 8-virtual-device CPU mesh (must be "
+                        "the FIRST jax touch in the process)")
+    return p.parse_args(argv)
+
+
+def run_cli(argv=None):
+    args = parse_args(argv)
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+            os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.scaling:
+        scaling_main(args)
+    else:
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    run_cli()

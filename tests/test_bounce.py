@@ -82,3 +82,35 @@ def test_per_triangle_reflectance(room):
     sim.set_reflectance(np.linspace(0.0, 0.8, room.triangle_count).astype(np.float32))
     sim.compute()
     assert float(jnp.sum(sim.photon_map)) > 0
+
+
+def test_bounce_mxu_slot_space_matches_clustered(room):
+    """The mxu backend's gather-free slot-space bounce path (launch.py
+    contract: geometry pre-expanded to slot space, histograms stay in slot
+    space across bounces — round-2 verdict #6) produces bit-identical counts
+    to the clustered backend's original-id path at depth 1: same photons,
+    same bounce RNG, both traversals exact, and the histogram is
+    order-invariant. (Depth >= 2 cannot be bit-compared across backends: the
+    mxu path coherence-sorts bounce rays between segments, so later RR draws
+    pair with permuted lanes — checked statistically instead.)"""
+    params = SimParams(
+        photon_count=4096, max_iterations=1, max_bounces=1, reflectance=0.6,
+        precision="highest",
+    )
+
+    def run(backend, bounces):
+        sim = Simulator(
+            room,
+            dataclasses.replace(params, traversal=backend, max_bounces=bounces),
+            route=[LightPos(0.2, -0.1, 1.0)],
+            ray_chunk=1024,
+            max_clusters=1 << 30,  # budget-free: exact like the mxu kernel
+        )
+        sim.run_iteration()
+        return np.asarray(sim.photon_map)
+
+    np.testing.assert_array_equal(run("clustered", 1), run("mxu", 1))
+    m_c, m_m = run("clustered", 2), run("mxu", 2)
+    assert m_m.sum() > 4096  # bounces deposited extra dose
+    # depth-2 deposits agree statistically (same RR survival law)
+    assert abs(m_c.sum() - m_m.sum()) / m_c.sum() < 0.05

@@ -119,6 +119,90 @@ def test_calibrate(capsys):
     assert 10 < result["calibrated_power_W"] < 10000
 
 
+def run_cli_err(args, capsys):
+    rc = main(args)
+    out = capsys.readouterr()
+    return rc, out.err
+
+
+@pytest.fixture(scope="module")
+def tiny_glb(tmp_path_factory):
+    from uvtrace.geometry.procedural import make_box_room
+    from uvtrace.io.gltf_export import export_glb
+
+    room = make_box_room(subdivisions=2, clutter=0, seed=0)
+    path = tmp_path_factory.mktemp("scene") / "tiny.glb"
+    export_glb(path, room.tris)
+    return str(path)
+
+
+class TestFailFast:
+    """CLI error translation: every bad input produces ONE actionable line on
+    stderr and a nonzero exit — the reference's FatalError/CheckCL behavior
+    (template/template.cpp:525+, :555+), not a raw traceback."""
+
+    def test_missing_scene(self, capsys):
+        rc, err = run_cli_err(["info", "/nonexistent/room.glb"], capsys)
+        assert rc == 2
+        assert "scene not found" in err
+        assert "Traceback" not in err
+
+    def test_corrupt_scene(self, tmp_path, capsys):
+        bad = tmp_path / "bad.glb"
+        bad.write_bytes(b"this is not a glb file at all")
+        rc, err = run_cli_err(["info", str(bad)], capsys)
+        assert rc == 2
+        assert "cannot read scene" in err and "magic" in err
+        assert "Traceback" not in err
+
+    def test_malformed_route_xml(self, tiny_glb, tmp_path, capsys):
+        bad = tmp_path / "route.xml"
+        bad.write_text("<root><unclosed></root>")
+        rc, err = run_cli_err(
+            ["compute", tiny_glb, "--route", str(bad), "--no-render"], capsys
+        )
+        assert rc == 2
+        assert "cannot read route XML" in err
+        assert "Traceback" not in err
+
+    def test_missing_route_xml(self, tiny_glb, capsys):
+        rc, err = run_cli_err(
+            ["compute", tiny_glb, "--route", "/nope/route.xml", "--no-render"],
+            capsys,
+        )
+        assert rc == 2
+        assert "route XML not found" in err
+
+    def test_corrupt_checkpoint_resume(self, tiny_glb, tmp_path, capsys):
+        bad = tmp_path / "ckpt.npz"
+        bad.write_bytes(b"\x00" * 64)
+        rc, err = run_cli_err(
+            ["compute", tiny_glb, "--resume", str(bad), "--no-render"], capsys
+        )
+        assert rc == 2
+        assert "cannot read checkpoint" in err
+        assert "Traceback" not in err
+
+    def test_missing_checkpoint_render(self, tiny_glb, capsys):
+        rc, err = run_cli_err(
+            ["render", tiny_glb, "--checkpoint", "/nope/state.npz"], capsys
+        )
+        assert rc == 2
+        assert "checkpoint not found" in err
+
+    def test_error_language_nl(self, capsys):
+        """Errors are bilingual like every other CLI string (the reference UI
+        is EN/NL throughout, userinterface.cpp:42-408)."""
+        from uvtrace.i18n import set_language
+
+        try:
+            rc, err = run_cli_err(["--lang", "nl", "info", "/nope.glb"], capsys)
+            assert rc == 2
+            assert "uvtrace: fout:" in err
+        finally:
+            set_language("en")  # don't leak the language into other tests
+
+
 def test_compute_resume_extends(tmp_path):
     """Cross-process 'Resume computation': --resume restores accumulators and
     CLI flags override the checkpointed parameters."""
@@ -129,21 +213,27 @@ def test_compute_resume_extends(tmp_path):
     from uvtrace.geometry.procedural import make_box_room
     from uvtrace.io.gltf_export import export_glb
 
-    room = make_box_room(subdivisions=4, clutter=1, seed=3)
+    room = make_box_room(subdivisions=3, clutter=0, seed=3)
     glb = tmp_path / "room.glb"
     export_glb(glb, room.tris)
+    # share compiled executables between the two subprocess runs — the cost
+    # of this test is two cold jit compiles, not the tracing itself
+    env = dict(os.environ, UVTRACE_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jaxcache"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0")
 
     def run(*extra):
         r = subprocess.run(
             [sys.executable, "-m", "uvtrace", "compute", str(glb),
-             "--photon-count", "8192", "--no-render", *extra],
-            capture_output=True, text=True, timeout=600,
+             "--photon-count", "2048", "--sampler", "native", "--no-render",
+             *extra],
+            capture_output=True, text=True, timeout=600, env=env,
         )
         assert r.returncode == 0, r.stderr
         return json.loads(r.stdout.strip().splitlines()[-1])
 
     out1 = run("--iterations", "1", "--output", str(tmp_path / "o1"), "--checkpoint")
-    assert out1["photons"] == 8192
+    assert out1["photons"] == 2048
     out2 = run("--iterations", "2", "--output", str(tmp_path / "o2"),
                "--resume", str(tmp_path / "o1" / "checkpoint.npz"))
-    assert out2["photons"] == 16384
+    assert out2["photons"] == 4096

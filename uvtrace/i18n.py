@@ -29,6 +29,7 @@ _STRINGS = {
         "nl": "gekalibreerde lampsterkte (W)",
     },
     "route_saved": {"en": "route saved to", "nl": "route opgeslagen in"},
+    "error": {"en": "error", "nl": "fout"},
     "legend_title": {
         "en": "cumulative dose (mJ/cm^2)",
         "nl": "cumulatieve dosis (mJ/cm^2)",

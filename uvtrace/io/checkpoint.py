@@ -24,8 +24,16 @@ from uvtrace.sim.params import SimParams
 def save_checkpoint(path, sim) -> None:
     params = dataclasses.asdict(sim.params)
     route = [(w.x, w.y, w.duration) for w in sim.route]
+    tex = {}
+    if getattr(sim, "atlas", None) is not None:
+        # texel accumulators (np.asarray gathers sharded maps to host)
+        tex = dict(
+            photon_map_tex=np.asarray(sim.photon_map_tex),
+            max_photon_map_tex=np.asarray(sim.max_photon_map_tex),
+        )
     np.savez_compressed(
         str(path),
+        **tex,
         photon_map=np.asarray(sim.photon_map),
         max_photon_map=np.asarray(sim.max_photon_map),
         photon_map_size=np.int64(sim.photon_map_size),
@@ -51,6 +59,16 @@ def load_checkpoint(path, sim) -> None:
         )
     sim.photon_map = jnp.asarray(data["photon_map"])
     sim.max_photon_map = jnp.asarray(data["max_photon_map"])
+    if "photon_map_tex" in data and getattr(sim, "atlas", None) is not None:
+        # restore with the simulator's texel sharding (reset() built the
+        # accumulators with the right NamedSharding; keep it)
+        like = sim.photon_map_tex
+        sim.photon_map_tex = jax.device_put(
+            jnp.asarray(data["photon_map_tex"]), like.sharding
+        )
+        sim.max_photon_map_tex = jax.device_put(
+            jnp.asarray(data["max_photon_map_tex"]), like.sharding
+        )
     sim.photon_map_size = int(data["photon_map_size"])
     sim.curr_iterations = int(data["curr_iterations"])
     sim.global_seed = np.uint32(data["global_seed"])

@@ -11,10 +11,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(1e30)
-DET_EPS = jnp.float32(1e-5)
-T_MIN = jnp.float32(1e-4)
+# numpy scalars, NOT jnp: module-level jnp constants would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must be
+# the first backend touch in a multi-process run — parallel/multihost.py)
+BIG = np.float32(1e30)
+DET_EPS = np.float32(1e-5)
+T_MIN = np.float32(1e-4)
 
 
 def intersect_tri(orig, direction, v0, v1, v2):

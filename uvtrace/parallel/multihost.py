@@ -47,8 +47,12 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only double-initialization is benign; anything else (bad
+        # coordinator, port clash) must fail fast, not silently fall back to
+        # single-process (it would silently compute 1/N of the photons)
+        if "already initialized" not in str(e):
+            raise
 
 
 def make_2d_mesh(ray_shards: Optional[int] = None, texel_shards: int = 1,

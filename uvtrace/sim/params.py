@@ -42,7 +42,10 @@ class SimParams:
     sampler: str = "stratified"
     accumulate_method: str = "segment"  # see ops/accumulate.py (segment ~10x
     #   faster than sort on TPU for 2^20 rays -> 45k bins, measured)
-    traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas" | "mxu"
+    traversal: str = "auto"  # "auto" | "clustered" | "jax" | "pallas" |
+    #   "mxu" | "mxu-fused" ("mxu" + generate-in-kernel for the stratified
+    #   direct-lighting path: rays never touch HBM; bounce/texel/iid modes
+    #   fall back to the split mxu path automatically)
     precision: str = "high"  # mxu kernel matmul tier: "highest" (f32-exact,
     #   what the tests/goldens use) | "high" (bf16x3: 0.006% hit reassignment,
     #   ~8x below MC noise at default photon counts; 1.3x faster) | "fast"
