@@ -181,8 +181,9 @@ def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebu
 
 def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
            vlist, sems, *, precision, with_counts, group=1):
-    t_out[0] = jnp.full((1, PACKET), BIG)
-    slot_out[0] = jnp.full((1, PACKET), -1, jnp.int32)
+    packet = rf.shape[-1]  # rays per packet (1024 default; sweepable)
+    t_out[0] = jnp.full((1, packet), BIG)
+    slot_out[0] = jnp.full((1, packet), -1, jnp.int32)
     l8 = boxes.shape[2]
     if with_counts:
         # per-slot hit counts accumulate across the (sequential) grid steps
@@ -259,10 +260,10 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
     ibig = jnp.int32(0x7F7FFFFF)  # bits of f32 max; sorts after everything
     entry_bits = pltpu.bitcast(e_grp, jnp.int32)
     keys0 = jnp.where(valid, (entry_bits & ~idx_mask) | g_idx, ibig)  # (nrb, l8)
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, KBATCH), 1)
-    # rf: (NFEAT, PACKET) ray-feature value (from HBM rays or the fused
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)  # buffer-row lanes
+    # rf: (NFEAT, packet) ray-feature value (from HBM rays or the fused
     # in-kernel generator)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (c_sz, PACKET), 0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (c_sz, packet), 0)
 
     dot_kw = dict(
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -304,28 +305,49 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         return jnp.max(t_out[0])  # packet bound tightens after leaves
 
     # ---- phase 2: near-ordered extraction + scalar visit loop -------------
-    def batch(keys, t_ub, vbase):
+    # NOTE on pipelining (PERF.md roadmap #1, tried & REJECTED): a double-
+    # buffered variant that speculatively extracted batch k+1 (into buffer
+    # row 1-p) while batch k was visited measured 32.25 vs 36.4 Mrays/s —
+    # most packets need exactly ONE batch, so the speculative extraction is
+    # pure added VPU work that does NOT hide under the MXU visit stream (the
+    # issue order serializes the vector mins ahead of the first leaf matmul).
+    # The serial form below extracts, DMAs, waits, visits.
+    def extract_batch(keys, p):
+        """Pull the next KBATCH near-ordered candidates into buffer row p and
+        START its DMA (consumer waits via wait_batch(p))."""
 
         def extract(k, keys):
             m = jnp.min(keys)
-            ibuf_v[:, :] = jnp.where(kiota == k, m, ibuf_v[:, :])
+            ibuf_v[pl.ds(p, 1), :] = jnp.where(
+                kiota == k, m, ibuf_v[pl.ds(p, 1), :]
+            )
             return jnp.where(keys == m, ibig, keys)
 
         keys = jax.lax.fori_loop(0, KBATCH, extract, keys)
         # split packed keys: entry bound (f32 bits, idx bits zeroed -> still
         # a lower bound on the true entry) and cluster id
-        ebuf_v[:, :] = pltpu.bitcast(ibuf_v[:, :] & ~idx_mask, jnp.float32)
-        ibuf_v[:, :] = ibuf_v[:, :] & idx_mask
-        cp0 = pltpu.make_async_copy(ebuf_v, ebuf_s, sems.at[0])
-        cp1 = pltpu.make_async_copy(ibuf_v, ibuf_s, sems.at[1])
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
+        ebuf_v[pl.ds(p, 1), :] = pltpu.bitcast(
+            ibuf_v[pl.ds(p, 1), :] & ~idx_mask, jnp.float32
+        )
+        ibuf_v[pl.ds(p, 1), :] = ibuf_v[pl.ds(p, 1), :] & idx_mask
+        pltpu.make_async_copy(ebuf_v.at[p], ebuf_s.at[p], sems.at[2 * p]).start()
+        pltpu.make_async_copy(ibuf_v.at[p], ibuf_s.at[p], sems.at[2 * p + 1]).start()
+        return keys
+
+    def wait_batch(p):
+        pltpu.make_async_copy(ebuf_v.at[p], ebuf_s.at[p], sems.at[2 * p]).wait()
+        pltpu.make_async_copy(ibuf_v.at[p], ibuf_s.at[p], sems.at[2 * p + 1]).wait()
+
+    def batch_body(carry):
+        keys, t_ub, _more, vbase = carry
+        keys = extract_batch(keys, 0)
+        wait_batch(0)
 
         def visit_cond(c):
             j, t_ub = c
-            return jnp.logical_and(j < KBATCH, ebuf_s[0, jnp.minimum(j, KBATCH - 1)] < t_ub)
+            return jnp.logical_and(
+                j < KBATCH, ebuf_s[0, jnp.minimum(j, KBATCH - 1)] < t_ub
+            )
 
         def visit(c):
             j, t_ub = c
@@ -338,15 +360,15 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         # all KBATCH consumed and the farthest still mattered => maybe more.
         # i32 carry, not bool: a bool while-carry miscompiled here (Mosaic
         # produced all-miss results for the all-axes-span frustum case).
-        more = jnp.logical_and(j == KBATCH, ebuf_s[0, KBATCH - 1] < jnp.minimum(t_ub, BIG))
+        more = jnp.logical_and(
+            j == KBATCH, ebuf_s[0, KBATCH - 1] < jnp.minimum(t_ub, BIG)
+        )
         return keys, t_ub, more.astype(jnp.int32), vbase + j
 
-    def batch_outer(carry):
-        keys, t_ub, _more, vbase = carry
-        return batch(keys, t_ub, vbase)
-
     _, _, _, vtotal = jax.lax.while_loop(
-        lambda c: c[2] > 0, batch_outer, (keys0, BIG, jnp.int32(1), jnp.int32(0))
+        lambda c: c[2] > 0,
+        batch_body,
+        (keys0, BIG, jnp.int32(1), jnp.int32(0)),
     )
 
     if with_counts:
@@ -368,7 +390,8 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
 @functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts", "group"))
 def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest",
                          with_counts=False, group=1):
-    """o3/d3: f32[G, 1024, 3] packet-major rays."""
+    """o3/d3: f32[G, P, 3] packet-major rays (P = rays/packet, default 1024)."""
+    packet = o3.shape[1]
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": "high",
@@ -380,14 +403,14 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
     vmax = scene.boxes.shape[2] * (8 // group)
     m3 = jnp.cross(o3, d3)
     rf10 = jnp.concatenate(
-        [d3, m3, o3, jnp.ones((g_total, PACKET, 1), jnp.float32)], axis=2
-    ).swapaxes(1, 2)  # (G, 10, PACKET); ray r of packet g = column r
+        [d3, m3, o3, jnp.ones((g_total, packet, 1), jnp.float32)], axis=2
+    ).swapaxes(1, 2)  # (G, 10, packet); ray r of packet g = column r
     if precision == "high":
-        rfeat = _pack_rf3(rf10)  # (G, K3, PACKET) bf16
+        rfeat = _pack_rf3(rf10)  # (G, K3, packet) bf16
         feat_op = scene.feat3
     else:
         rfeat = jnp.concatenate(
-            [rf10, jnp.zeros((g_total, NFEAT - 10, PACKET), jnp.float32)], axis=1
+            [rf10, jnp.zeros((g_total, NFEAT - 10, packet), jnp.float32)], axis=1
         )
         feat_op = scene.feat
     krows = rfeat.shape[1]
@@ -408,24 +431,26 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
-            pl.BlockSpec((1, krows, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, krows, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # feat tiles, fully resident
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l_count, c_sz), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((g_total, 1, packet), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 1, packet), jnp.int32),
             jax.ShapeDtypeStruct((l_count, c_sz), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, KBATCH), jnp.float32),
-            pltpu.VMEM((1, KBATCH), jnp.int32),
-            pltpu.SMEM((1, KBATCH), jnp.float32),
-            pltpu.SMEM((1, KBATCH), jnp.int32),
+            # one 128-lane buffer row (DMA slices along the lane dim must
+            # be tile-aligned on TPU; only lanes < KBATCH are used)
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SMEM((1, 128), jnp.float32),
+            pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -435,8 +460,8 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
         interpret=interpret,
     )(pbounds, scene.boxes, rfeat, feat_op)
     t, slot, counts = out
-    t = t.reshape(g_total * PACKET)
-    slot = slot.reshape(g_total * PACKET)
+    t = t.reshape(g_total * packet)
+    slot = slot.reshape(g_total * packet)
     slot = jnp.where(t >= BIG, -1, slot)
     if with_counts:
         return t, slot, counts.reshape(-1)
@@ -470,6 +495,7 @@ def traverse_mxu_counts(
     interpret: bool = False,
     precision: str = "highest",
     group: int = 1,
+    packet: int = PACKET,
     **_,
 ):
     """Like traverse_mxu_slots but ALSO returns int32[L*C] per-slot hit
@@ -479,9 +505,9 @@ def traverse_mxu_counts(
     counts_slots); counts include every ray (callers must launch whole
     chunks, i.e. no masked tail)."""
     r = orig.shape[0]
-    assert r % PACKET == 0, (r, PACKET)
-    o3 = orig.reshape(r // PACKET, PACKET, 3)
-    d3 = direction.reshape(r // PACKET, PACKET, 3)
+    assert r % packet == 0, (r, packet)
+    o3 = orig.reshape(r // packet, packet, 3)
+    d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
         scene, o3, d3, interpret=interpret, precision=precision, with_counts=True,
         group=group,
@@ -496,6 +522,7 @@ def traverse_mxu_slots(
     interpret: bool = False,
     precision: str = "highest",
     group: int = 1,
+    packet: int = PACKET,
     **_,
 ):
     """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*C + lane)
@@ -507,9 +534,9 @@ def traverse_mxu_slots(
     reassignments — statistically unbiased for dose, same spirit as the
     reference's -cl-fast-relaxed-math build flag, template.cpp:1192)."""
     r = orig.shape[0]
-    assert r % PACKET == 0, (r, PACKET)
-    o3 = orig.reshape(r // PACKET, PACKET, 3)
-    d3 = direction.reshape(r // PACKET, PACKET, 3)
+    assert r % packet == 0, (r, packet)
+    o3 = orig.reshape(r // packet, packet, 3)
+    d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
         scene, o3, d3, interpret=interpret, precision=precision, group=group
     )
@@ -768,10 +795,12 @@ def fused_trace_counts(
             pltpu.VMEM((K3, PACKET), jnp.bfloat16)
             if precision == "high"
             else pltpu.VMEM((NFEAT, PACKET), jnp.float32),
-            pltpu.VMEM((1, KBATCH), jnp.float32),
-            pltpu.VMEM((1, KBATCH), jnp.int32),
-            pltpu.SMEM((1, KBATCH), jnp.float32),
-            pltpu.SMEM((1, KBATCH), jnp.int32),
+            # one 128-lane buffer row (DMA slices along the lane dim must
+            # be tile-aligned on TPU; only lanes < KBATCH are used)
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SMEM((1, 128), jnp.float32),
+            pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
