@@ -134,10 +134,15 @@ def launch_counts(
         else:
             key = jax.random.fold_in(rng_in, gi)
             rays = gen_ops.generate_native(key, chunk, lamp_xyz, light_length)
-        def extend_once(orig, direction):
+        def extend_once(orig, direction, kernel_counts=True):
             """One extend pass; uses the in-kernel histogram when eligible.
-            Returns (t, hits[slot or id space], counts_delta, overflow_delta)."""
-            if counts_mode:
+            Returns (t, hits[slot or id space], counts_delta, overflow_delta).
+
+            kernel_counts=False forces the split kernel + XLA histogram —
+            measured FASTER for bounce segments (incoherent packets visit
+            ~10x more clusters, and the in-kernel histogram loop pays per
+            visited cluster: 767 vs 734 ms per 4-bounce iteration on v5e)."""
+            if counts_mode and kernel_counts:
                 t_hit, hits, counts_chunk = extend_counts_fn(
                     scene, orig, direction,
                     lamp_xyz=lamp_xyz, light_length=light_length,
@@ -191,15 +196,12 @@ def launch_counts(
                     from uvtrace.ops.bounce import coherence_sort
 
                     orig, direction, alive = coherence_sort(orig, direction, alive)
-                t_hit, hit_b, counts_b, ov = extend_once(orig, direction)
+                t_hit, hit_b, counts_b, ov = extend_once(
+                    orig, direction, kernel_counts=False
+                )
                 overflow = overflow + ov
                 hit_ids = jnp.where(alive, hit_b, -1)
-                if counts_b is not None:
-                    # dead lanes ride parked always-miss rays, so the
-                    # kernel's unmasked histogram equals the masked one
-                    counts = counts + counts_b
-                else:
-                    counts = counts + acc_ops.hit_counts(hit_ids, n_bins, method)
+                counts = counts + acc_ops.hit_counts(hit_ids, n_bins, method)
                 if atlas is not None:
                     tex_counts = tex_counts + texel_counts_of(orig, direction, t_hit, hit_ids)
         return (counts, tex_counts, overflow), None

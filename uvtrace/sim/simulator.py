@@ -96,7 +96,11 @@ class Simulator:
 
         backend = params.traversal
         if backend == "auto":
-            backend = "mxu" if jax.default_backend() == "tpu" else "clustered"
+            # mxu-fused: generate+trace+histogram in one kernel — fastest
+            # measured (34.8 vs 32.2 Mrays/s split, readback-fenced; PERF.md);
+            # launch_counts falls back to the split mxu path automatically
+            # for modes that need per-ray hits (bounce, texel, iid samplers)
+            backend = "mxu-fused" if jax.default_backend() == "tpu" else "clustered"
         if bvh is not None:
             backend = "jax"
         self.backend = backend
