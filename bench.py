@@ -249,7 +249,11 @@ def run_cli(argv=None):
         )
         if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
             os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # config update, not just the env var: site-installed device plugins
+        # can override JAX_PLATFORMS (same pin as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.scaling:
         scaling_main(args)
     else:

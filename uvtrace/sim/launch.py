@@ -196,7 +196,7 @@ def launch_counts(
                     from uvtrace.ops.bounce import coherence_sort
 
                     orig, direction, alive = coherence_sort(orig, direction, alive)
-                t_hit, hit_b, counts_b, ov = extend_once(
+                t_hit, hit_b, _, ov = extend_once(
                     orig, direction, kernel_counts=False
                 )
                 overflow = overflow + ov
