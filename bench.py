@@ -165,7 +165,7 @@ def scaling_rows(device_counts=None, rays_per_device=None, iters=3, scene_mesh=N
     from uvtrace.sim import SimParams, Simulator
 
     avail = len(jax.devices())
-    if device_counts is None:
+    if not device_counts:  # None or an empty --devices list
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]
     if max(device_counts) > avail:
         raise SystemExit(

@@ -26,10 +26,15 @@ def save_checkpoint(path, sim) -> None:
     route = [(w.x, w.y, w.duration) for w in sim.route]
     tex = {}
     if getattr(sim, "atlas", None) is not None:
-        # texel accumulators (np.asarray gathers sharded maps to host)
+        # texel accumulators (np.asarray gathers sharded maps to host).
+        # Only the real atlas slots are saved — the texel-shard alignment
+        # padding is a property of the SAVING topology; load_checkpoint
+        # re-pads for the resuming simulator's shard count, so a run saved
+        # on texel_shards=3 resumes cleanly on 1 (or vice versa).
+        ns = sim.atlas.n_slots
         tex = dict(
-            photon_map_tex=np.asarray(sim.photon_map_tex),
-            max_photon_map_tex=np.asarray(sim.max_photon_map_tex),
+            photon_map_tex=np.asarray(sim.photon_map_tex)[:ns],
+            max_photon_map_tex=np.asarray(sim.max_photon_map_tex)[:ns],
         )
     np.savez_compressed(
         str(path),
@@ -44,6 +49,11 @@ def save_checkpoint(path, sim) -> None:
         params_json=json.dumps(params),
         route=np.asarray(route, np.float64),
         triangle_count=np.int64(sim.triangle_count),
+        # per-lamp launch size actually used when max_photon_map was
+        # accumulated — MAX_POWER normalizes by it (raytracer.cpp:96-105
+        # normalizes by the photonsPerLight it launched with); without it a
+        # cross-process `render --view maxpower` would overstate irradiance
+        launch_n=np.int64(getattr(sim, "_launch_n", 0)),
     )
 
 
@@ -59,17 +69,45 @@ def load_checkpoint(path, sim) -> None:
         )
     sim.photon_map = jnp.asarray(data["photon_map"])
     sim.max_photon_map = jnp.asarray(data["max_photon_map"])
-    if "photon_map_tex" in data and getattr(sim, "atlas", None) is not None:
-        # restore with the simulator's texel sharding (reset() built the
-        # accumulators with the right NamedSharding; keep it)
+    has_tex_ckpt = "photon_map_tex" in data
+    has_tex_sim = getattr(sim, "atlas", None) is not None
+    if has_tex_ckpt != has_tex_sim:
+        # resuming a texel run without its accumulators (or vice versa) would
+        # silently zero the texel dose while keeping photon_map_size — i.e.
+        # under-reported dose, the one unacceptable failure mode here
+        raise ValueError(
+            "checkpoint/simulator texel-density mismatch: checkpoint "
+            f"{'has' if has_tex_ckpt else 'lacks'} texel accumulators but the "
+            f"simulator {'has' if has_tex_sim else 'lacks'} a texel atlas — "
+            "resume with the same --texel-density the run was computed with"
+        )
+    if has_tex_sim:
+        saved = np.asarray(data["photon_map_tex"])
+        ns = sim.atlas.n_slots
+        # older checkpoints carried the saving topology's shard padding;
+        # >= n_slots is fine (pad slots never receive hits), < is corruption
+        if saved.shape[0] < ns:
+            raise ValueError(
+                f"checkpoint texel map has {saved.shape[0]} slots, atlas "
+                f"needs {ns} — checkpoint is for a different texel density"
+            )
+        # re-pad for THIS simulator's texel-shard alignment, then restore
+        # with the sharding reset() established (each device keeps only its
+        # own slot range on a 2-D mesh)
+        pad = sim._n_texels - ns
         like = sim.photon_map_tex
-        sim.photon_map_tex = jax.device_put(
-            jnp.asarray(data["photon_map_tex"]), like.sharding
-        )
-        sim.max_photon_map_tex = jax.device_put(
-            jnp.asarray(data["max_photon_map_tex"]), like.sharding
-        )
+
+        def _repad(a):
+            a = a[:ns]
+            if pad:
+                a = np.concatenate([a, np.zeros((pad,), a.dtype)])
+            return jax.device_put(jnp.asarray(a), like.sharding)
+
+        sim.photon_map_tex = _repad(saved)
+        sim.max_photon_map_tex = _repad(np.asarray(data["max_photon_map_tex"]))
     sim.photon_map_size = int(data["photon_map_size"])
+    if "launch_n" in data and int(data["launch_n"]) > 0:
+        sim._launch_n = int(data["launch_n"])
     sim.curr_iterations = int(data["curr_iterations"])
     sim.global_seed = np.uint32(data["global_seed"])
     sim.key = jnp.asarray(data["key"])

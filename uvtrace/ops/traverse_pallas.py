@@ -298,130 +298,3 @@ def traverse_pallas(scene: PallasScene, orig, direction, *, interpret: bool = Fa
     o3 = orig.reshape(r // PACKET, PACKET, 3)
     d3 = direction.reshape(r // PACKET, PACKET, 3)
     return _traverse_pallas_padded(scene, o3, d3, interpret=interpret)
-
-
-# --------------------------------------------------------------------------
-# Queued kernel: per-stratum precomputed candidates, zero in-kernel traversal
-# --------------------------------------------------------------------------
-
-
-def _queued_kernel(queue, entry, ox, oy, oz, dx, dy, dz, tri_block, t_out, slot_out, t_ub):
-    g = pl.program_id(0)
-    c = pl.program_id(1)
-    max_c = pl.num_programs(1)
-
-    @pl.when(c == 0)
-    def _():
-        t_out[0] = jnp.full((8, 128), BIG)
-        slot_out[0] = jnp.full((8, 128), -1, jnp.int32)
-        t_ub[0] = BIG
-
-    cid = queue[g * max_c + c]
-    # candidates are near-to-far ordered; entry is a conservative lower bound
-    # on the cluster's hit distance, so entry >= t_ub can never improve any
-    # ray of the packet (the packet-level early exit of an ordered DFS)
-    run = jnp.logical_and(cid >= 0, entry[g * max_c + c] < t_ub[0])
-
-    @pl.when(run)
-    def _():
-        o = (ox[0], oy[0], oz[0])
-        d = (dx[0], dy[0], dz[0])
-        _mt_columns(o, d, tri_block[0], cid, t_out, slot_out)
-        t_ub[0] = jnp.max(t_out[0])
-
-
-@functools.partial(jax.jit, static_argnames=("max_candidates", "interpret"))
-def _traverse_queued_padded(scene, o3, d3, queue, entry, max_candidates, interpret=False):
-    g_total = o3.shape[0]
-
-    def plane(x, c):
-        return x[:, :, c].reshape(g_total, 128, 8).swapaxes(1, 2)
-
-    comps = [plane(o3, 0), plane(o3, 1), plane(o3, 2), plane(d3, 0), plane(d3, 1), plane(d3, 2)]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # queue (drives the tri-block index map), entry
-        grid=(g_total, max_candidates),
-        in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM)
-        ]
-        * 6
-        + [
-            pl.BlockSpec(
-                (1, TRI_ROWS, 128),
-                lambda g, c, q, e: (jnp.maximum(q[g * max_candidates + c], 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g, c, q, e: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )
-    t, slot = pl.pallas_call(
-        _queued_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((g_total, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, 8, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(queue.reshape(-1), entry.reshape(-1), *comps, scene.tri)
-    t = t.swapaxes(1, 2).reshape(g_total * PACKET)
-    slot = slot.swapaxes(1, 2).reshape(g_total * PACKET)
-    hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
-    hit = jnp.where(t >= BIG, -1, hit)
-    return t, hit
-
-
-def traverse_pallas_queued(
-    scene: PallasScene,
-    orig,
-    direction,
-    *,
-    lamp_xyz,
-    light_length,
-    max_candidates: int = 32,
-    height_bands: int = 4,
-    interpret: bool = False,
-    **_,
-):
-    """Closest-hit for *stratified* packets via wedge-precomputed candidate
-    lists (ops/candidates.py) — no tree traversal on device; the Pallas grid
-    pipelines one cluster-tile DMA per (packet, candidate) step and skips
-    steps the packet's early-exit bound has ruled out.
-
-    Rays MUST come from generate_stratified(key, R, lamp_xyz, light_length)
-    with the same lamp/stratum grid. Returns (t, hit_ids, overflow) where
-    overflow counts clusters dropped by the candidate budget (0 => exact).
-    """
-    from uvtrace.ops.candidates import stratum_candidates
-    from uvtrace.ops.generate import _stratum_grid
-
-    r = orig.shape[0]
-    assert r % PACKET == 0, (r, PACKET)
-    g_total = r // PACKET
-    gh, gy, gphi = _stratum_grid(g_total, height_bands=height_bands)
-    queue, entry, counts = stratum_candidates(
-        scene.box_min,
-        scene.box_max,
-        jnp.asarray(lamp_xyz, jnp.float32),
-        light_length,
-        gy,
-        gphi,
-        max_candidates=max_candidates,
-    )
-    if gh > 1:
-        # height-banded cells repeat the (y, phi) grid gh times (conservative
-        # w.r.t. the full rod; cells are ordered height-major)
-        queue = jnp.tile(queue, (gh, 1))
-        entry = jnp.tile(entry, (gh, 1))
-        counts = jnp.tile(counts, (gh,))
-    o3 = orig.reshape(g_total, PACKET, 3)
-    d3 = direction.reshape(g_total, PACKET, 3)
-    t, hit = _traverse_queued_padded(
-        scene, o3, d3, queue, entry.astype(jnp.float32), max_candidates, interpret=interpret
-    )
-    overflow = jnp.sum(jnp.maximum(counts - max_candidates, 0))
-    return t, hit, overflow

@@ -53,10 +53,12 @@ def make_ray_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 def mesh_shape(mesh: Mesh) -> tuple[int, int]:
     """(ray_shards, texel_shards) of a 1-D or 2-D product mesh."""
     names = tuple(mesh.axis_names)
-    assert names in ((RAY_AXIS,), (RAY_AXIS, TEXEL_AXIS)), (
-        f"expected a ('{RAY_AXIS}',) or ('{RAY_AXIS}', '{TEXEL_AXIS}') mesh, "
-        f"got {names}"
-    )
+    if names not in ((RAY_AXIS,), (RAY_AXIS, TEXEL_AXIS)):
+        raise ValueError(
+            f"expected a ('{RAY_AXIS}',) or ('{RAY_AXIS}', '{TEXEL_AXIS}') "
+            f"device mesh, got axis names {names} — build one with "
+            "uvtrace.parallel.sharded.make_ray_mesh or jax.make_mesh"
+        )
     return mesh.shape[RAY_AXIS], mesh.shape.get(TEXEL_AXIS, 1)
 
 
@@ -92,10 +94,19 @@ def sharded_launch_fn(
     """
     ray_shards, tex_shards = mesh_shape(mesh)
     n_dev = ray_shards * tex_shards
-    assert n_total % (n_dev * chunk) == 0, (n_total, n_dev, chunk)
+    if n_total % (n_dev * chunk) != 0:
+        raise ValueError(
+            f"n_total={n_total} must be a multiple of n_devices*chunk = "
+            f"{n_dev}*{chunk} so every device scans whole chunks "
+            "(the Simulator rounds launches up to this automatically)"
+        )
     chunks_per_dev = n_total // n_dev // chunk
-    if tex_shards > 1:
-        assert n_texels and n_texels % tex_shards == 0, (n_texels, tex_shards)
+    if tex_shards > 1 and (not n_texels or n_texels % tex_shards != 0):
+        raise ValueError(
+            f"a {tex_shards}-way 'texels' axis needs n_texels > 0 and "
+            f"divisible by it (got n_texels={n_texels}); enable "
+            "params.texel_density — the Simulator pads the slot count"
+        )
     static = dict(
         t_count=t_count,
         n=n_total // n_dev,

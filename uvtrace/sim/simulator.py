@@ -303,6 +303,8 @@ class Simulator:
             self.photon_map_tex = zeros
             self.max_photon_map_tex = zeros
         self.photon_map_size = 0
+        self._launch_n = 0  # per-lamp launch size of the last launch
+        #   (checkpointed: MAX_POWER normalizes by it across resume)
         self.curr_iterations = 0
         self.global_seed = np.uint32(0)  # reference-mode cross-launch SEED
         self.key = jax.random.PRNGKey(self.params.seed)
@@ -570,22 +572,29 @@ class Simulator:
             return self._extend(self.scene, orig, direction)
         from jax.sharding import PartitionSpec as P
 
-        extend = self._extend
+        # cache the jitted shard_map per probe-batch shape (it lives in
+        # _sharded_cache so the clustered budget escalation invalidates it
+        # along with the launch functions)
+        cache_key = ("probes", orig.shape)
+        sharded = self._sharded_cache.get(cache_key)
+        if sharded is None:
+            extend = self._extend
 
-        def fn(scene, o, d):
-            r = extend(scene, o, d)
-            ov = r[2] if len(r) > 2 else jnp.zeros((), jnp.int32)
-            return r[0], r[1], jax.lax.psum(jnp.sum(ov), self.device_mesh.axis_names)
+            def fn(scene, o, d):
+                r = extend(scene, o, d)
+                ov = r[2] if len(r) > 2 else jnp.zeros((), jnp.int32)
+                return r[0], r[1], jax.lax.psum(jnp.sum(ov), self.device_mesh.axis_names)
 
-        sharded = jax.jit(
-            jax.shard_map(
-                fn,
-                mesh=self.device_mesh,
-                in_specs=(P(), P("rays"), P("rays")),
-                out_specs=(P("rays"), P("rays"), P()),
-                check_vma=False,
+            sharded = jax.jit(
+                jax.shard_map(
+                    fn,
+                    mesh=self.device_mesh,
+                    in_specs=(P(), P("rays"), P("rays")),
+                    out_specs=(P("rays"), P("rays"), P()),
+                    check_vma=False,
+                )
             )
-        )
+            self._sharded_cache[cache_key] = sharded
         t, hit, ov = sharded(self.scene, orig, direction)
         if self.backend == "clustered" and int(ov) > 0:
             raise RuntimeError(
@@ -618,15 +627,29 @@ class Simulator:
     # ------------------------------------------------------------ calibrate
 
     def calibrate_power(
-        self, measure_power: float, measure_height: float, measure_dist: float
+        self,
+        measure_power: float,
+        measure_height: float,
+        measure_dist: float,
+        *,
+        rel_stderr: float = 0.005,
     ) -> float:
         """Linear power calibration against a physical UV-meter reading
         (raytracer.cpp:151-227, Report §2.2).
 
-        Swaps in a synthetic 0.2x0.2 m square at the measured height/distance,
-        runs max_iterations full-count launches from a lamp at the origin,
-        reads the simulated irradiance with power=1, and rescales:
-        calibrated = 0.01 * measured / simulated. Updates light_intensity.
+        Swaps in a synthetic 0.2x0.2 m square at the measured height/distance
+        and traces photons from a lamp at the origin with power=1, then
+        rescales: calibrated = 0.01 * measured / simulated. Updates
+        light_intensity.
+
+        The reference burns maxIterations x photonCount photons (335M at
+        defaults) into 2 triangles and reads the max-over-launches irradiance
+        (raytracer.cpp:191-209). Here the estimator is the unbiased cumulative
+        mean (identical in the large-count limit the reference operates in),
+        launches run in reduced-size batches until the relative standard error
+        of the per-launch means drops below `rel_stderr` (default 0.5%), and a
+        sharded session calibrates over its device mesh's ray axis instead of
+        silently single-device.
         """
         import dataclasses
 
@@ -637,22 +660,50 @@ class Simulator:
             half_width=0.1,
             axis="z",
         )
+        # the square needs no texel atlas; a 2-D (rays x texels) session mesh
+        # flattens to a 1-D ray mesh so every chip still participates
+        cal_mesh = self.device_mesh
+        if cal_mesh is not None and self._tex_shards > 1:
+            from jax.sharding import Mesh
+
+            cal_mesh = Mesh(
+                np.asarray(self.device_mesh.devices).reshape(-1), ("rays",)
+            )
+        budget = min(self.params.photon_count, 1 << 20)
         cal = Simulator(
             square,
-            dataclasses.replace(self.params),
+            dataclasses.replace(self.params, photon_count=budget, texel_density=0.0),
             route=[LightPos(0.0, 0.0, 1.0)],
             ray_chunk=self.ray_chunk,
+            device_mesh=cal_mesh,
         )
         # floor height of the synthetic square is 0 by construction; the lamp
         # must sit at the *real* room's floor + light_height like the
         # reference (it keeps mesh->floorHeight, raytracer.cpp:77)
         cal.mesh.floor_height = self.mesh.floor_height
-        for _ in range(self.params.max_iterations):
-            cal._single_light(cal.route[0], self.params.photon_count)
-        sim_dose = shade_ops.compute_dosage(
-            cal.max_photon_map, cal.areas, self.params.photon_count, 1.0
+        # cap at the reference's total budget; stop early once converged
+        max_launches = max(
+            1,
+            self.params.max_iterations
+            * max(1, self.params.photon_count // budget),
         )
-        avg = float(jnp.mean(sim_dose))
+        means: list[float] = []
+        prev = np.zeros((2,), np.float32)
+        for _ in range(max_launches):
+            cal._single_light(cal.route[0], budget)
+            cur = np.asarray(cal.photon_map)
+            n_launch = cal._launch_n or budget
+            dose_i = shade_ops.compute_dosage(
+                jnp.asarray(cur - prev), cal.areas, n_launch, 1.0
+            )
+            means.append(float(jnp.mean(dose_i)))
+            prev = cur
+            if len(means) >= 4:
+                m = float(np.mean(means))
+                se = float(np.std(means, ddof=1)) / max(1, len(means)) ** 0.5
+                if m > 0 and se / m < rel_stderr:
+                    break
+        avg = float(np.mean(means))
         calibrated = 0.01 * measure_power / avg
         self.params = dataclasses.replace(self.params, light_intensity=calibrated)
         return calibrated
