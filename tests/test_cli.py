@@ -62,6 +62,40 @@ def test_compute_small(tmp_path, capsys):
     assert (tmp_path / "r.png").stat().st_size > 100
 
 
+def test_compute_texel_exports(tmp_path, capsys):
+    """--texel-density makes the sub-triangle dose map a deliverable
+    (round-3 verdict #1): dose_texels.npy + atlas layout + per-texel stats
+    in the JSON result line."""
+    from uvtrace.geometry.procedural import make_box_room
+    from uvtrace.io.gltf_export import export_glb
+
+    room = make_box_room(subdivisions=2, clutter=1, seed=4)
+    scene = tmp_path / "room.glb"
+    export_glb(scene, room.tris)
+    rc, out = run_cli(
+        [
+            "compute",
+            str(scene),
+            "--photon-count", "4096",
+            "--iterations", "1",
+            "--texel-density", "8",
+            "--output", str(tmp_path / "out"),
+            "--no-render",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["texels"] > room.triangle_count  # finer than per-triangle
+    assert stats["tex_dose_max"] >= stats["dose_max"] > 0
+    tex = np.load(tmp_path / "out" / "dose_texels.npy")
+    assert tex.shape == (stats["texels"],)
+    assert (tmp_path / "out" / "irradiance_texels.npy").exists()
+    atlas = np.load(tmp_path / "out" / "texel_atlas.npz")
+    assert atlas["base"].shape == atlas["k"].shape == atlas["cell_area"].shape
+    assert int((atlas["k"].astype(np.int64) ** 2).sum()) == stats["texels"]
+
+
 def test_compute_with_route(tmp_path, capsys):
     rc, out = run_cli(
         [

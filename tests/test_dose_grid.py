@@ -35,6 +35,34 @@ def test_dose_grid_png(tmp_path):
     assert img.max() > 0
 
 
+def test_dose_grid_texel_resolution():
+    """A texel-atlas run's dose_grid resolves INTRA-triangle variation
+    (round-3 verdict #1 — the 4K config-5 export must not render at
+    per-triangle resolution): on a 2-triangle floor under a central lamp the
+    per-triangle grid is piecewise constant while the texel grid shows the
+    radial falloff inside each triangle."""
+    from uvtrace.geometry.procedural import make_single_square
+    from uvtrace.io.routexml import LightPos
+
+    floor = make_single_square(center=(0.0, 0.0, 0.0), half_width=2.0, axis="y")
+    params = dataclasses.replace(
+        SimParams(), photon_count=1 << 16, max_iterations=1,
+        texel_density=8.0, seed=7,
+    )
+    sim = Simulator(floor, params, route=[LightPos(0.0, 0.0, 1.0)])
+    sim.run_iteration()
+    g_tri = sim.dose_grid(res=32, texels=False)
+    g_tex = sim.dose_grid(res=32)
+    # per-triangle lookup is piecewise constant: 2 triangles (+ possible 0)
+    assert len(np.unique(g_tri)) <= 3
+    # the texel grid varies *within* each triangle
+    assert len(np.unique(g_tex)) > 10
+    # and resolves the inverse-square falloff: directly under the lamp is
+    # markedly hotter than near the floor corner
+    center, corner = g_tex[16, 16], g_tex[2, 2]
+    assert center > 2 * corner > 0, (center, corner)
+
+
 def test_i18n_roundtrip():
     assert i18n.tr("progress") == "Progress"
     i18n.set_language("nl")

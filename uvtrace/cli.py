@@ -228,6 +228,32 @@ def cmd_compute(args):
     irr = sim.dosage_map(ViewMode.MAX_POWER)
     export_dose_npy(out / "dose_mJ_cm2.npy", dose)
     export_dose_npy(out / "irradiance_uW_cm2.npy", irr)
+    tex_stats = {}
+    if sim.atlas is not None:
+        # sub-triangle dose maps are a deliverable, not an internal array:
+        # per-texel doses + the atlas layout that maps slot -> (triangle,
+        # barycentric cell) so external tools can consume them
+        tex_dose = np.asarray(sim.dosage_map_texels(ViewMode.DOSAGE))
+        export_dose_npy(out / "dose_texels.npy", tex_dose)
+        export_dose_npy(
+            out / "irradiance_texels.npy",
+            sim.dosage_map_texels(ViewMode.MAX_POWER),
+        )
+        np.savez_compressed(
+            out / "texel_atlas.npz",
+            base=np.asarray(sim.atlas.base),
+            k=np.asarray(sim.atlas.k),
+            cell_area=np.asarray(sim.atlas.cell_area),
+        )
+        tex_stats = {
+            "texels": sim.atlas.n_slots,
+            "tex_dose_max": float(tex_dose.max()),
+            "tex_dose_mean": float(tex_dose.mean()),
+            "tex_dose_min": float(tex_dose.min()),
+            "tex_coverage_above_min": float(
+                (tex_dose >= sim.params.min_dosage).mean()
+            ),
+        }
     if not args.no_render:
         export_heatmap_png(
             out / "dose.png", mesh.tris, dose, sim.params.min_dosage,
@@ -263,6 +289,7 @@ def cmd_compute(args):
                 "dose_mean": float(d.mean()),
                 "dose_min": float(d.min()),
                 "coverage_above_min": float((d >= sim.params.min_dosage).mean()),
+                **tex_stats,
                 "output": str(out),
             }
         )

@@ -530,11 +530,23 @@ class Simulator:
         # drop the shard-alignment padding slots (never hit, see __init__)
         return texel_dose(self.atlas, src[: self.atlas.n_slots], n, scaled_power)
 
-    def dose_grid(self, res: int = 256, view: ViewMode = ViewMode.DOSAGE):
+    def dose_grid(
+        self,
+        res: int = 256,
+        view: ViewMode = ViewMode.DOSAGE,
+        texels: Optional[bool] = None,
+    ):
         """Fixed-resolution top-down dose image (BASELINE config 1's
         '256^2 dose map'): a res x res grid of downward probe rays over the
         scene footprint; each cell reports the dose of the first surface the
         probe hits (floor, bed, table tops — what a floor-plan heatmap shows).
+
+        When a texel atlas exists each probe samples its TEXEL's dose
+        (barycentrics -> atlas slot), not the triangle average — a 4K grid
+        over a texel run actually resolves sub-triangle variation (the
+        reference renders everything it accumulates end-to-end,
+        cl/shade.cl:61-70). `texels=False` forces the per-triangle lookup,
+        `None` auto-selects (atlas present => texels).
 
         Returns float32[res, res] in the same units as dosage_map(view).
         """
@@ -559,9 +571,27 @@ class Simulator:
         if self._slot_map is not None:
             sm = np.asarray(self._slot_map)
             hit = np.where(hit >= 0, sm[np.maximum(hit, 0)], -1)
-        dose = np.asarray(self.dosage_map(view))
-        img = np.where(hit >= 0, dose[np.maximum(hit, 0)], 0.0).astype(np.float32)
-        return img.reshape(res, res)
+        if texels is None:
+            texels = self.atlas is not None
+        if texels:
+            if self.atlas is None:
+                raise ValueError("dose_grid(texels=True) needs params.texel_density > 0")
+            from uvtrace.ops.texel import barycentrics, texel_ids
+
+            t_hit = np.asarray(res_t[0])[:n]
+            tris = np.asarray(self.mesh.tris)
+            safe = np.maximum(hit, 0)
+            v0 = tris[safe, 0]
+            e1 = tris[safe, 1] - v0
+            e2 = tris[safe, 2] - v0
+            u, v = barycentrics(orig[:n], direction[:n], t_hit, v0, e1, e2)
+            slots = np.asarray(texel_ids(self.atlas, jnp.asarray(hit), u, v))
+            tex_dose = np.asarray(self.dosage_map_texels(view))
+            img = np.where(slots >= 0, tex_dose[np.maximum(slots, 0)], 0.0)
+        else:
+            dose = np.asarray(self.dosage_map(view))
+            img = np.where(hit >= 0, dose[np.maximum(hit, 0)], 0.0)
+        return img.astype(np.float32).reshape(res, res)
 
     def _extend_probes(self, orig, direction):
         """Extend a probe batch, sharded over the device mesh's ray axis when
