@@ -4,18 +4,31 @@ The driver runs tests on a machine with a single real TPU attached (platform
 'axon'); tests must be deterministic and multi-device-capable, so we pin the
 CPU backend and split it into 8 virtual devices
 (SURVEY.md §4: multi-device tests via xla_force_host_platform_device_count).
+
+Opt-in real-TPU lane (round-3 verdict #4): set UVTRACE_TEST_PLATFORM=tpu to
+keep the attached chip visible and run the compiled-kernel parity tests:
+
+    UVTRACE_TEST_PLATFORM=tpu python -m pytest tests/ -m tpu
+
+Tests marked `tpu` compile the Pallas kernels with Mosaic on the real device
+and assert bit-equality against interpret mode (a real Mosaic miscompile was
+caught once — bool while-carries, ops/traverse_mxu.py); they self-skip when
+no TPU is attached.
 """
 
 import os
 
+TEST_PLATFORM = os.environ.get("UVTRACE_TEST_PLATFORM", "cpu")
+
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

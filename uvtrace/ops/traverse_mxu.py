@@ -505,6 +505,7 @@ def traverse_mxu_counts(
     counts_slots); counts include every ray (callers must launch whole
     chunks, i.e. no masked tail)."""
     r = orig.shape[0]
+    packet = min(packet, r)  # small launches fall back to one whole packet
     assert r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)
@@ -532,8 +533,17 @@ def traverse_mxu_slots(
     precision: "highest" (f32-faithful MXU passes, exact vs the oracle) or
     "fast" (single bf16 pass; ~0.4% relative t noise and edge-band hit
     reassignments — statistically unbiased for dose, same spirit as the
-    reference's -cl-fast-relaxed-math build flag, template.cpp:1192)."""
+    reference's -cl-fast-relaxed-math build flag, template.cpp:1192).
+
+    packet: bounce segments run 4096 (incoherent rays are per-visit-fixed-
+    cost-bound and candidates/packet grow sublinearly with the window);
+    coherent launches keep 1024 (PERF.md round-4 sweep). A per-column
+    (sub-packet) kernel variant with per-128-ray frusta/candidates/t-bounds
+    was built, measured 2.8x SLOWER end-to-end, and removed — the union of
+    sub-frusta candidates equals the packet-frustum set (measured 0.96-0.98x)
+    while per-visit fixed costs multiply 8-fold (PERF.md round-4)."""
     r = orig.shape[0]
+    packet = min(packet, r)  # small launches fall back to one whole packet
     assert r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)

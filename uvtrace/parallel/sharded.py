@@ -75,6 +75,7 @@ def sharded_launch_fn(
     n_texels: int = 0,
     extend_counts_fn=None,
     fused_counts_fn=None,
+    extend_bounce_fn=None,
 ):
     """Build the jitted multi-device launch for `n_total` photons.
 
@@ -118,6 +119,7 @@ def sharded_launch_fn(
         n_texels=n_texels,
         extend_counts_fn=extend_counts_fn,
         fused_counts_fn=fused_counts_fn,
+        extend_bounce_fn=extend_bounce_fn,
     )
 
     def shard_fn(scene, rng, lamp, ll, aux):

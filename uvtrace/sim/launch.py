@@ -24,7 +24,7 @@ from uvtrace.ops import generate as gen_ops
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces", "n_texels", "extend_counts_fn", "fused_counts_fn"),
+    static_argnames=("t_count", "n", "chunk", "sampler", "method", "extend_fn", "max_bounces", "n_texels", "extend_counts_fn", "fused_counts_fn", "extend_bounce_fn"),
 )
 def launch_counts(
     scene,
@@ -49,6 +49,7 @@ def launch_counts(
     slot_map=None,
     extend_counts_fn=None,
     fused_counts_fn=None,
+    extend_bounce_fn=None,
     chunk_offset=0,
 ):
     """Original-order int32[t_count] hit counts for one lamp launch of n photons.
@@ -196,10 +197,21 @@ def launch_counts(
                     from uvtrace.ops.bounce import coherence_sort
 
                     orig, direction, alive = coherence_sort(orig, direction, alive)
-                t_hit, hit_b, _, ov = extend_once(
-                    orig, direction, kernel_counts=False
-                )
-                overflow = overflow + ov
+                if extend_bounce_fn is not None:
+                    # incoherent-ray configuration of the packet kernel
+                    # (4096-ray packets: candidates grow sublinearly with the
+                    # window while matmul width amortizes per-visit fixed
+                    # costs — PERF.md round-4 bounce sweep)
+                    res_b = extend_bounce_fn(
+                        scene, orig, direction,
+                        lamp_xyz=lamp_xyz, light_length=light_length,
+                    )
+                    t_hit, hit_b = res_b[0], res_b[1]
+                else:
+                    t_hit, hit_b, _, ov = extend_once(
+                        orig, direction, kernel_counts=False
+                    )
+                    overflow = overflow + ov
                 hit_ids = jnp.where(alive, hit_b, -1)
                 counts = counts + acc_ops.hit_counts(hit_ids, n_bins, method)
                 if atlas is not None:

@@ -107,6 +107,7 @@ class Simulator:
         self._slot_map = None
         self._extend_counts = None
         self._fused_counts = None
+        self._extend_bounce = None
 
         # prefer the native C++ builder when the toolchain is present
         from uvtrace.bvh import native as native_builder
@@ -128,10 +129,18 @@ class Simulator:
             from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
             if cluster_size is None:
-                # 64-tri clusters measured fastest for the MXU kernel
-                # (tighter AABBs beat matmul batching); the XLA clustered
-                # path amortizes better at 128
-                cluster_size = 64 if backend.startswith("mxu") else 128
+                # 64-tri clusters measured fastest for the MXU kernel on
+                # coherent packets (tighter AABBs beat matmul batching); the
+                # XLA clustered path amortizes better at 128. Bounce mode
+                # flips the trade: incoherent packets are per-visit-fixed-
+                # cost-bound, and C=128 leaf tiles measured 2.7x faster on
+                # bounce segments while costing ~2% on the (small) direct
+                # segment (PERF.md round-4 sweep) — one cluster size must
+                # serve both because hit ids live in ONE slot space.
+                if backend.startswith("mxu"):
+                    cluster_size = 128 if params.max_bounces > 0 else 64
+                else:
+                    cluster_size = 128
             if use_native:
                 self.clusters = native_builder.build_clusters_native(
                     mesh.tris, cluster_size=cluster_size
@@ -155,6 +164,15 @@ class Simulator:
                 )
                 self._extend_counts = functools.partial(
                     traverse_mxu_counts, precision=params.precision, interpret=interp
+                )
+                # bounce segments (incoherent rays) run the packet kernel at
+                # 4096-ray packets: candidates/packet grow sublinearly with
+                # the window while the matmul width amortizes per-visit fixed
+                # costs 4x — measured optimum for the incoherent regime
+                # (PERF.md round-4 sweep; 1024 stays optimal for coherent)
+                self._extend_bounce = functools.partial(
+                    traverse_mxu_slots, packet=4096,
+                    precision=params.precision, interpret=interp,
                 )
                 if backend == "mxu-fused":
                     # generate+trace+histogram in ONE kernel (the stratified
@@ -378,6 +396,7 @@ class Simulator:
             slot_map=self._slot_map,
             extend_counts_fn=self._extend_counts,
             fused_counts_fn=self._fused_counts,
+            extend_bounce_fn=self._extend_bounce if self.params.max_bounces else None,
         )
 
     def _launch_audited(self, rng_in, lamp_xyz, n: int, chunk: int):
@@ -451,6 +470,7 @@ class Simulator:
                 n_texels=self._n_texels,
                 extend_counts_fn=self._extend_counts,
                 fused_counts_fn=self._fused_counts,
+                extend_bounce_fn=self._extend_bounce if self.params.max_bounces else None,
             )
             self._sharded_cache[cache_key] = fn
         aux = dict(
