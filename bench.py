@@ -104,7 +104,11 @@ def main():
         n_bins = t_count
 
     n = int(os.environ.get("UVTRACE_BENCH_RAYS", 1 << 20))
-    iters = int(os.environ.get("UVTRACE_BENCH_ITERS", 5))
+    # 20 iterations inside ONE jit: at 5 the fixed per-run dispatch+fence
+    # through the remote-chip tunnel was ~20-25% of the measurement (r3's
+    # 34.6 Mrays/s at iters=5 vs 41.0 steady-state, <0.1% run-to-run spread
+    # at 20). Production amortizes far more (10 iterations x 2^25 rays).
+    iters = int(os.environ.get("UVTRACE_BENCH_ITERS", 20))
 
     def one_iter(carry, i):
         key = jax.random.fold_in(jax.random.PRNGKey(0), i)
@@ -131,6 +135,32 @@ def main():
     idx = jnp.arange(iters, dtype=jnp.int32)
     counts, dose = run(idx)
     np.asarray(dose)
+    # correctness gate (round-3 verdict #4): the fixed-seed hit total is a
+    # pinned invariant, not PERF.md prose. Split-path value computed with the
+    # budget-audited clustered backend on CPU XLA (5 x 2^20 stratified rays,
+    # PRNGKey(0), testroom); the fused kernel draws its photons from the
+    # in-kernel RNG (a different, equally-stratified population), so it has
+    # its own pinned total. ±64 absorbs float-marginal hit<->miss flips
+    # between backends/compilers — a Mosaic miscompile (garbage/zero hits)
+    # is orders of magnitude outside this.
+    if (
+        mesh.triangle_count == 44866
+        and n == (1 << 20)
+        and iters in (5, 20)
+        and "UVTRACE_BENCH_PRECISION" not in os.environ
+    ):
+        total = int(np.asarray(counts).sum())
+        expected = {
+            (True, 5): 4_624_690,
+            (True, 20): 18_499_935,
+            (False, 5): 4_624_808,
+            (False, 20): 18_500_845,
+        }[(fused is not None, iters)]
+        tol = 64 * (iters // 5)
+        assert abs(total - expected) <= tol, (
+            f"bench hit-count invariant violated: {total} vs {expected} "
+            f"(diff {total - expected}) — kernel correctness regression"
+        )
 
     best = float("inf")
     for _ in range(3):
