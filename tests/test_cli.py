@@ -28,6 +28,7 @@ def test_info(capsys):
     assert "floor height" in out
 
 
+@pytest.mark.slow  # ~100 s: renders the 45k-tri scene with the CPU rasterizer
 def test_compute_small(tmp_path, capsys):
     rc, out = run_cli(
         [
@@ -168,6 +169,25 @@ def tiny_glb(tmp_path_factory):
     path = tmp_path_factory.mktemp("scene") / "tiny.glb"
     export_glb(path, room.tris)
     return str(path)
+
+
+def test_render_from_checkpoint_tiny(tiny_glb, tmp_path, capsys):
+    """Quick-lane compute->checkpoint->render roundtrip (the 45k-tri version
+    lives in the slow lane — CPU rasterization dominates it)."""
+    rc, _ = run_cli(
+        ["compute", tiny_glb, "--photon-count", "2048", "--iterations", "1",
+         "--checkpoint", "--no-render", "--output", str(tmp_path / "o")],
+        capsys,
+    )
+    assert rc == 0
+    rc, _ = run_cli(
+        ["render", tiny_glb,
+         "--checkpoint", str(tmp_path / "o" / "checkpoint.npz"),
+         "--output", str(tmp_path / "r.png")],
+        capsys,
+    )
+    assert rc == 0
+    assert (tmp_path / "r.png").stat().st_size > 100
 
 
 class TestFailFast:

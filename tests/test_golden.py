@@ -54,6 +54,7 @@ def test_golden_dose_stratified():
 ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
 
 
+@pytest.mark.slow  # ~190 s: 2^18-ray exact-replay golden on the real scene
 def test_golden_testroom_scene(testroom_mesh):
     """BASELINE config 1 regression pin: the reference's SHIPPED scene
     (assets/testroomopt.glb) + shipped route (assets/route.xml), fixed seed —
