@@ -490,6 +490,22 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat)
+    if os.environ.get("UVTRACE_NO_CACHE") != "1":
+        # persistent XLA compilation cache: the flagship pipeline's one-time
+        # compile is minutes on TPU (the kernels carry deep unrolled loops);
+        # cached executables bring every later process to sub-second startup
+        # — the reference pays its (much smaller) kernel build per process
+        # and mitigates with PTX dumps (template.cpp:1196-1212)
+        import jax
+
+        cache_dir = os.environ.get("UVTRACE_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "uvtrace", "xla"
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without the knobs: run uncached
     from uvtrace.i18n import set_language, tr
 
     set_language(args.lang)
