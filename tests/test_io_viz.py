@@ -237,3 +237,36 @@ def test_cli_watch_exports_live_heatmap(tmp_path, capsys):
     assert rc == 0
     assert (tmp_path / "o" / "dose_live.png").exists()
     assert (tmp_path / "o" / "dose.png").exists()
+
+
+def test_render_textured_per_pixel():
+    """The photo-scan view samples the texture PER PIXEL with perspective-
+    correct UVs (reference: simpleshader + mesh texture, myapp.cpp:186-194)
+    — a checkerboard must show multiple alternations inside one triangle,
+    which the per-triangle-average fallback cannot produce."""
+    from uvtrace.geometry.mesh import TriangleMesh
+    from uvtrace.viz.rasterizer import render_textured
+
+    # a floor quad spanning uv [0,1]^2 with an 8x8 checkerboard
+    tris = np.array(
+        [
+            [[-1, 0, -1], [1, 0, -1], [1, 0, 1]],
+            [[-1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+        ],
+        np.float32,
+    )
+    uvs = np.array(
+        [[[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]]], np.float32
+    )
+    checker = np.indices((8, 8)).sum(axis=0) % 2
+    tex = np.repeat(np.repeat(checker, 16, 0), 16, 1)
+    tex = (np.stack([tex] * 3, axis=-1) * 255).astype(np.uint8)
+    mesh = TriangleMesh(tris=tris, uvs=uvs, texture=tex)
+    cam = Camera.look_at((0.0, 3.0, 0.01), (0.0, 0.0, 0.0))
+    img = render_textured(mesh, camera=cam, width=128, height=128)
+    mid = img[64, :, 0].astype(np.int32)
+    flips = int((np.abs(np.diff(mid)) > 128).sum())
+    assert flips >= 6, flips  # several checker alternations along one row
+    # fallback path (no texture) still renders
+    img2 = render_textured(TriangleMesh(tris=tris), camera=cam, width=64, height=64)
+    assert img2.max() > 0

@@ -367,11 +367,12 @@ def cmd_render(args):
         with _translated("camera XML", args.camera):
             camera = Camera.load_xml(args.camera)
     if args.view == "texture":
-        # photo-scan view (ViewMode::texture, myapp.cpp:186-194)
+        # photo-scan view (ViewMode::texture, myapp.cpp:186-194): per-pixel
+        # perspective-correct UV sampling of the scan texture
         from uvtrace.io.png import write_png
-        from uvtrace.viz.rasterizer import render_heatmap
+        from uvtrace.viz.rasterizer import render_textured
 
-        img = render_heatmap(mesh.tris, mesh.flat_texture_colors(), camera=camera)
+        img = render_textured(mesh, camera=camera)
         write_png(args.output, img)
         print(json.dumps({"output": args.output}))
         return 0

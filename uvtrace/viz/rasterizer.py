@@ -93,6 +93,121 @@ def _render(tris, colors, view, fov_deg, width=640, height=480, chunk=256):
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk"))
+def _render_tex(tris, uvs, view, fov_deg, width=640, height=480, chunk=256):
+    """Per-pixel perspective-correct UV rasterization.
+
+    Instead of per-tri flat colors, composite (u, v) per pixel — interpolate
+    uv/z and 1/z with barycentric weights from the edge functions (what the
+    reference's GL pipeline does in hardware, simpleshader.vert/frag) — and
+    let the caller sample the texture ONCE over the final image (per-pixel
+    per-triangle texture gathers would be 45k x H x W)."""
+    xy, depth = _project(tris, view, fov_deg, width, height)
+    behind = jnp.any(depth <= 1e-4, axis=1)
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx = px[None, :]
+    gy = py[:, None]
+
+    t_count = tris.shape[0]
+    pad = (-t_count) % chunk
+    xy = jnp.pad(xy, ((0, pad), (0, 0), (0, 0)))
+    depth = jnp.pad(depth, ((0, pad), (0, 0)), constant_values=1.0)
+    uvs = jnp.pad(uvs, ((0, pad), (0, 0), (0, 0)))
+    behind = jnp.pad(behind, (0, pad), constant_values=True)
+
+    def chunk_step(carry, idx):
+        zbuf, uvbuf, hitbuf = carry
+        cxy = jax.lax.dynamic_slice_in_dim(xy, idx * chunk, chunk)
+        cz = jax.lax.dynamic_slice_in_dim(depth, idx * chunk, chunk)
+        cu = jax.lax.dynamic_slice_in_dim(uvs, idx * chunk, chunk)
+        cb = jax.lax.dynamic_slice_in_dim(behind, idx * chunk, chunk)
+
+        def one_tri(i, carry):
+            zbuf, uvbuf, hitbuf = carry
+            a, b, c = cxy[i, 0], cxy[i, 1], cxy[i, 2]
+
+            def edge(p, q):
+                return (q[0] - p[0]) * (gy - p[1]) - (q[1] - p[1]) * (gx - p[0])
+
+            e_bc = edge(b, c)  # ~ lambda_a * area
+            e_ca = edge(c, a)  # ~ lambda_b * area
+            e_ab = edge(a, b)  # ~ lambda_c * area
+            area = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            inside = jnp.where(
+                area >= 0,
+                (e_bc >= 0) & (e_ca >= 0) & (e_ab >= 0),
+                (e_bc <= 0) & (e_ca <= 0) & (e_ab <= 0),
+            )
+            inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+            la, lb, lc = e_bc * inv_area, e_ca * inv_area, e_ab * inv_area
+            za, zb, zc = cz[i, 0], cz[i, 1], cz[i, 2]
+            inv_z = la / za + lb / zb + lc / zc
+            z_px = 1.0 / jnp.maximum(inv_z, 1e-12)
+            u_px = (la * cu[i, 0, 0] / za + lb * cu[i, 1, 0] / zb + lc * cu[i, 2, 0] / zc) * z_px
+            v_px = (la * cu[i, 0, 1] / za + lb * cu[i, 1, 1] / zb + lc * cu[i, 2, 1] / zc) * z_px
+            covered = inside & (~cb[i]) & (z_px < zbuf) & (jnp.abs(area) > 1e-12)
+            zbuf = jnp.where(covered, z_px, zbuf)
+            uvbuf = jnp.where(
+                covered[..., None], jnp.stack([u_px, v_px], axis=-1), uvbuf
+            )
+            hitbuf = hitbuf | covered
+            return zbuf, uvbuf, hitbuf
+
+        return jax.lax.fori_loop(0, chunk, one_tri, (zbuf, uvbuf, hitbuf)), None
+
+    zbuf0 = jnp.full((height, width), jnp.inf)
+    uv0 = jnp.zeros((height, width, 2))
+    hit0 = jnp.zeros((height, width), bool)
+    (zbuf, uvbuf, hitbuf), _ = jax.lax.scan(
+        chunk_step, (zbuf0, uv0, hit0), jnp.arange((t_count + pad) // chunk)
+    )
+    return uvbuf, hitbuf
+
+
+def render_textured(
+    mesh,
+    camera: Camera | None = None,
+    width: int = 640,
+    height: int = 480,
+    gamma: bool = False,
+) -> np.ndarray:
+    """Render the scene with its scan texture, per-pixel (the reference's
+    'photo scan' view: simpleshader + mesh texture, myapp.cpp:186-194).
+    Falls back to per-triangle average colors when the mesh has no texture
+    or no UVs."""
+    if mesh.texture is None or mesh.uvs is None:
+        return render_heatmap(
+            mesh.tris, mesh.flat_texture_colors(), camera=camera,
+            width=width, height=height, gamma=gamma,
+        )
+    tris = jnp.asarray(mesh.tris, jnp.float32)
+    if camera is None:
+        camera = default_camera(mesh.tris)
+    uvbuf, hitbuf = _render_tex(
+        tris,
+        jnp.asarray(mesh.uvs, jnp.float32),
+        jnp.asarray(camera.view),
+        jnp.float32(camera.fov_deg),
+        width=width,
+        height=height,
+    )
+    uvbuf = np.asarray(uvbuf)
+    hitbuf = np.asarray(hitbuf)
+    tex = np.asarray(mesh.texture)
+    h, w = tex.shape[:2]
+    # GL_REPEAT + nearest sampling (the reference uploads with default
+    # wrap/filter state, mesh.cpp:166-199)
+    tx = np.clip(((uvbuf[..., 0] % 1.0) * (w - 1)).astype(np.int64), 0, w - 1)
+    ty = np.clip(((uvbuf[..., 1] % 1.0) * (h - 1)).astype(np.int64), 0, h - 1)
+    img = np.where(hitbuf[..., None], tex[ty, tx].astype(np.float32) / 255.0, 0.0)
+    img = np.clip(img, 0.0, 1.0)
+    if gamma:
+        img = np.sqrt(img)
+    return (img * 255.0).astype(np.uint8)
+
+
 def default_camera(mesh_tris) -> Camera:
     """Look-at from above the scene diagonal (used when no camera.xml)."""
     v = np.asarray(mesh_tris, np.float32).reshape(-1, 3)
