@@ -254,6 +254,23 @@ def cmd_compute(args):
                 (tex_dose >= sim.params.min_dosage).mean()
             ),
         }
+        if not args.no_render:
+            # camera-view heatmap at TEXEL resolution: the dose -> color ->
+            # screen loop closed at sub-triangle detail (the reference's
+            # end-to-end path, cl/shade.cl:61-70, is per-triangle)
+            from uvtrace.io.texel_bake import export_texel_heatmap_png
+
+            export_texel_heatmap_png(
+                out / "dose_texels.png", mesh.tris, sim.atlas, tex_dose,
+                sim.params.min_dosage, args.threshold_view, gamma=args.gamma,
+            )
+        if args.export_glb:
+            from uvtrace.io.texel_bake import export_texel_glb
+
+            export_texel_glb(
+                out / "dose_texels.glb", mesh.tris, sim.atlas, tex_dose,
+                sim.params.min_dosage, args.threshold_view,
+            )
     if not args.no_render:
         export_heatmap_png(
             out / "dose.png", mesh.tris, dose, sim.params.min_dosage,

@@ -9,8 +9,8 @@ from pathlib import Path
 import numpy as np
 
 
-def write_png(path: str | Path, image: np.ndarray) -> None:
-    """Write uint8 [H,W,3] (or [H,W] grayscale) to a PNG file."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode uint8 [H,W,3] (or [H,W] grayscale) as PNG bytes."""
     image = np.asarray(image)
     if image.ndim == 2:
         image = np.stack([image] * 3, axis=-1)
@@ -34,7 +34,12 @@ def write_png(path: str | Path, image: np.ndarray) -> None:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
-    Path(path).write_bytes(payload)
+    return payload
+
+
+def write_png(path: str | Path, image: np.ndarray) -> None:
+    """Write uint8 [H,W,3] (or [H,W] grayscale) to a PNG file."""
+    Path(path).write_bytes(png_bytes(image))
 
 
 def decode_png(data: bytes) -> np.ndarray:
