@@ -81,13 +81,17 @@ def test_compute_texel_exports(tmp_path, capsys):
             "--iterations", "1",
             "--texel-density", "8",
             "--output", str(tmp_path / "out"),
-            "--no-render",
+            "--export-glb",
         ],
         capsys,
     )
     assert rc == 0
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["texels"] > room.triangle_count  # finer than per-triangle
+    # texel-resolution deliverables (round-3 verdict #1: dose -> color ->
+    # screen closed at sub-triangle detail)
+    assert (tmp_path / "out" / "dose_texels.png").stat().st_size > 100
+    assert (tmp_path / "out" / "dose_texels.glb").stat().st_size > 100
     assert stats["tex_dose_max"] >= stats["dose_max"] > 0
     tex = np.load(tmp_path / "out" / "dose_texels.npy")
     assert tex.shape == (stats["texels"],)
