@@ -99,6 +99,23 @@ def test_compute_texel_exports(tmp_path, capsys):
     atlas = np.load(tmp_path / "out" / "texel_atlas.npz")
     assert atlas["base"].shape == atlas["k"].shape == atlas["cell_area"].shape
     assert int((atlas["k"].astype(np.int64) ** 2).sum()) == stats["texels"]
+    # render from a texel checkpoint adopts the run's params (atlas rebuilt,
+    # texel state restored) and renders at texel resolution
+    rc, _ = run_cli(
+        ["compute", str(scene), "--photon-count", "4096", "--iterations", "1",
+         "--texel-density", "8", "--checkpoint", "--no-render",
+         "--output", str(tmp_path / "out2")],
+        capsys,
+    )
+    assert rc == 0
+    rc, _ = run_cli(
+        ["render", str(scene),
+         "--checkpoint", str(tmp_path / "out2" / "checkpoint.npz"),
+         "--output", str(tmp_path / "texel_render.png")],
+        capsys,
+    )
+    assert rc == 0
+    assert (tmp_path / "texel_render.png").stat().st_size > 100
 
 
 def test_compute_with_route(tmp_path, capsys):

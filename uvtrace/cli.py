@@ -370,13 +370,17 @@ def cmd_render(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from uvtrace.io.checkpoint import load_checkpoint
+    from uvtrace.io.checkpoint import load_checkpoint, peek_params
     from uvtrace.io.export import export_heatmap_png
     from uvtrace.sim import SimParams, Simulator, ViewMode
     from uvtrace.viz.camera import Camera
 
     mesh = _load_mesh(args.scene)
-    sim = Simulator(mesh, SimParams())
+    # adopt the checkpointed run's parameters (texel_density in particular:
+    # the atlas must exist at construction for the texel state to restore)
+    with _translated("checkpoint", args.checkpoint):
+        params = peek_params(args.checkpoint)
+    sim = Simulator(mesh, params)
     with _translated("checkpoint", args.checkpoint):
         load_checkpoint(args.checkpoint, sim)
     camera = None
@@ -395,10 +399,20 @@ def cmd_render(args):
         return 0
     view = ViewMode.MAX_POWER if args.view == "maxpower" else ViewMode.DOSAGE
     scale = sim.params.min_power if view == ViewMode.MAX_POWER else sim.params.min_dosage
-    export_heatmap_png(
-        args.output, mesh.tris, sim.dosage_map(view), scale, args.threshold_view,
-        camera=camera,
-    )
+    if sim.atlas is not None:
+        # texel runs render at texel resolution (sub-triangle dose)
+        from uvtrace.io.texel_bake import export_texel_heatmap_png
+
+        export_texel_heatmap_png(
+            args.output, mesh.tris, sim.atlas,
+            sim.dosage_map_texels(view), scale, args.threshold_view,
+            camera=camera,
+        )
+    else:
+        export_heatmap_png(
+            args.output, mesh.tris, sim.dosage_map(view), scale,
+            args.threshold_view, camera=camera,
+        )
     print(json.dumps({"output": args.output}))
     return 0
 

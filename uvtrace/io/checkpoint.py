@@ -57,6 +57,15 @@ def save_checkpoint(path, sim) -> None:
     )
 
 
+def peek_params(path) -> SimParams:
+    """Read only the SimParams from a checkpoint — callers that construct
+    the Simulator themselves (e.g. `uvtrace render`) need the run's params
+    (notably texel_density: the atlas is built at construction, and
+    load_checkpoint refuses a texel-presence mismatch)."""
+    data = np.load(str(path), allow_pickle=False)
+    return SimParams(**json.loads(str(data["params_json"])))
+
+
 def load_checkpoint(path, sim) -> None:
     """Restore state into an existing Simulator built on the same scene."""
     import jax.numpy as jnp
