@@ -185,6 +185,43 @@ def main():
     )
 
 
+def bounce_row(n=None, bounces=4, reflectance=0.5, iters=3, scene_mesh=None):
+    """4-bounce diffuse+RR throughput through the product Simulator
+    (BASELINE config 2). Returns the result-row dict."""
+    import jax
+    import numpy as np
+
+    from uvtrace.io.routexml import LightPos
+    from uvtrace.sim import SimParams, Simulator
+
+    if n is None:
+        n = (1 << 20) if jax.default_backend() == "tpu" else (1 << 13)
+    mesh = scene_mesh if scene_mesh is not None else _load_scene_mesh()
+    sim = Simulator(
+        mesh,
+        SimParams(photon_count=n, max_iterations=iters + 1,
+                  max_bounces=bounces, reflectance=reflectance, seed=0),
+        route=[LightPos(0.0, 0.0, 1.0)],
+        ray_chunk=min(n, 1 << 20),
+    )
+    sim.run_iteration()  # compile + warmup
+    np.asarray(sim.photon_map)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        sim.run_iteration()
+        np.asarray(sim.photon_map)  # readback fence
+        best = min(best, time.time() - t0)
+    segs = sim._launch_n * (1 + bounces)
+    return {
+        "metric": f"all-segment rays/sec/chip ({bounces}-bounce diffuse+RR)",
+        "value": round(segs / best, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(sim._launch_n / best / REQUIREMENT_RAYS_PER_SEC, 3),
+        "segments_per_photon": 1 + bounces,
+    }
+
+
 def scaling_rows(device_counts=None, rays_per_device=None, iters=3, scene_mesh=None):
     """Measure the product sharded path at each device count; returns the
     list of result-row dicts (also usable in-process by tests)."""
@@ -259,6 +296,9 @@ def parse_args(argv=None):
     p.add_argument("--scaling", action="store_true",
                    help="multi-device weak-scaling rows via the product "
                         "sharded path (one JSON row per device count)")
+    p.add_argument("--bounce", action="store_true",
+                   help="4-bounce diffuse+RR all-segment throughput "
+                        "(BASELINE config 2) instead of the direct pipeline")
     p.add_argument("--devices", type=int, nargs="*", default=None,
                    metavar="N", help="device counts to measure (default: "
                    "powers of two up to the visible device count)")
@@ -286,6 +326,8 @@ def run_cli(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.scaling:
         scaling_main(args)
+    elif args.bounce:
+        print(json.dumps(bounce_row(iters=args.iters)))
     else:
         main()
 

@@ -29,3 +29,14 @@ def test_scaling_rows_shape_and_efficiency(small_room):
 def test_scaling_cli_parses():
     args = bench.parse_args(["--scaling", "--devices", "1", "2", "--iters", "1"])
     assert args.scaling and args.devices == [1, 2]
+
+
+def test_bench_bounce_row_smoke():
+    """`bench --bounce` produces the config-2 row through the product path."""
+    import bench
+    from uvtrace.geometry.procedural import make_box_room
+
+    row = bench.bounce_row(n=1 << 12, iters=1,
+                           scene_mesh=make_box_room(subdivisions=3, seed=3))
+    assert row["segments_per_photon"] == 5
+    assert row["value"] > 0 and row["unit"] == "rays/s"

@@ -423,6 +423,8 @@ def cmd_bench(args):
     argv = []
     if args.scaling:
         argv.append("--scaling")
+    if args.bounce:
+        argv.append("--bounce")
     if args.devices is not None:
         argv += ["--devices", *map(str, args.devices)]
     if args.rays is not None:
@@ -504,6 +506,8 @@ def main(argv=None):
              "per device count via the product sharded path)",
     )
     pb.add_argument("--scaling", action="store_true")
+    pb.add_argument("--bounce", action="store_true",
+                    help="4-bounce all-segment throughput (config 2)")
     pb.add_argument("--devices", type=int, nargs="*", default=None, metavar="N")
     pb.add_argument("--rays", type=int, default=None,
                     help="photons per device per iteration")
