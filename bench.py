@@ -157,10 +157,11 @@ def main():
             (False, 20): 18_500_845,
         }[(fused is not None, iters)]
         tol = 64 * (iters // 5)
-        assert abs(total - expected) <= tol, (
-            f"bench hit-count invariant violated: {total} vs {expected} "
-            f"(diff {total - expected}) — kernel correctness regression"
-        )
+        if abs(total - expected) > tol:  # not assert: survives python -O
+            raise RuntimeError(
+                f"bench hit-count invariant violated: {total} vs {expected} "
+                f"(diff {total - expected}) — kernel correctness regression"
+            )
 
     best = float("inf")
     for _ in range(3):
@@ -327,7 +328,7 @@ def run_cli(argv=None):
     if args.scaling:
         scaling_main(args)
     elif args.bounce:
-        print(json.dumps(bounce_row(iters=args.iters)))
+        print(json.dumps(bounce_row(n=args.rays, iters=args.iters)))
     else:
         main()
 

@@ -163,6 +163,22 @@ def test_checkpoint_texel_presence_mismatch(tmp_path):
         load_checkpoint(tmp_path / "tex.npz", plain)
 
 
+def test_checkpoint_texel_density_mismatch(tmp_path):
+    """Resuming with a different texel density must be a hard error: the
+    atlas layout is a function of the density, so restoring density-8 slots
+    into a density-4 atlas would bin every count into the wrong cell."""
+    room = make_box_room(subdivisions=3)
+    sim8 = Simulator(
+        room, SimParams(photon_count=1 << 10, max_iterations=1, texel_density=8.0)
+    )
+    save_checkpoint(tmp_path / "d8.npz", sim8)
+    sim4 = Simulator(
+        room, SimParams(photon_count=1 << 10, max_iterations=1, texel_density=4.0)
+    )
+    with pytest.raises(ValueError, match="texel_density"):
+        load_checkpoint(tmp_path / "d8.npz", sim4)
+
+
 def test_checkpoint_scene_mismatch(tmp_path, small_room):
     sim = Simulator(small_room, SimParams(photon_count=1 << 10, max_iterations=1))
     save_checkpoint(tmp_path / "ck.npz", sim)

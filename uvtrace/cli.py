@@ -254,22 +254,34 @@ def cmd_compute(args):
                 (tex_dose >= sim.params.min_dosage).mean()
             ),
         }
-        if not args.no_render:
-            # camera-view heatmap at TEXEL resolution: the dose -> color ->
-            # screen loop closed at sub-triangle detail (the reference's
-            # end-to-end path, cl/shade.cl:61-70, is per-triangle)
-            from uvtrace.io.texel_bake import export_texel_heatmap_png
+        if not args.no_render or args.export_glb:
+            # bake the atlas texture ONCE (a host-side loop over every
+            # triangle — seconds at 16M slots) and feed both deliverables:
+            # the texel-resolution camera render and the dose-textured .glb
+            # (dose -> color -> screen closed at sub-triangle detail; the
+            # reference's end-to-end path, cl/shade.cl:61-70, is per-tri)
+            from uvtrace.geometry.mesh import TriangleMesh
+            from uvtrace.io.texel_bake import bake_texel_atlas
 
-            export_texel_heatmap_png(
-                out / "dose_texels.png", mesh.tris, sim.atlas, tex_dose,
-                sim.params.min_dosage, args.threshold_view, gamma=args.gamma,
+            image, uvs = bake_texel_atlas(
+                sim.atlas, tex_dose, sim.params.min_dosage, args.threshold_view
+            )
+        if not args.no_render:
+            from uvtrace.io.png import write_png
+            from uvtrace.viz.rasterizer import render_textured
+
+            baked = TriangleMesh(tris=mesh.tris, uvs=uvs, texture=image)
+            write_png(
+                out / "dose_texels.png",
+                render_textured(baked, width=960, height=720, gamma=args.gamma),
             )
         if args.export_glb:
-            from uvtrace.io.texel_bake import export_texel_glb
+            from uvtrace.io.gltf_export import export_glb as _export_glb
+            from uvtrace.io.png import png_bytes
 
-            export_texel_glb(
-                out / "dose_texels.glb", mesh.tris, sim.atlas, tex_dose,
-                sim.params.min_dosage, args.threshold_view,
+            _export_glb(
+                out / "dose_texels.glb", mesh.tris, uvs=uvs,
+                texture_png=png_bytes(image),
             )
     if not args.no_render:
         export_heatmap_png(

@@ -66,8 +66,8 @@ class TriangleMesh:
             return np.ones((t, 3), np.float32)
         h, w = self.texture.shape[:2]
         uv = self.uvs.mean(axis=1)  # [T,2]
-        x = np.clip((uv[:, 0] % 1.0) * (w - 1), 0, w - 1).astype(np.int64)
-        y = np.clip((uv[:, 1] % 1.0) * (h - 1), 0, h - 1).astype(np.int64)
+        x = np.clip(np.floor((uv[:, 0] % 1.0) * w), 0, w - 1).astype(np.int64)
+        y = np.clip(np.floor((uv[:, 1] % 1.0) * h), 0, h - 1).astype(np.int64)
         return self.texture[y, x].astype(np.float32) / 255.0
 
     @property

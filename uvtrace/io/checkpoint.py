@@ -62,8 +62,8 @@ def peek_params(path) -> SimParams:
     the Simulator themselves (e.g. `uvtrace render`) need the run's params
     (notably texel_density: the atlas is built at construction, and
     load_checkpoint refuses a texel-presence mismatch)."""
-    data = np.load(str(path), allow_pickle=False)
-    return SimParams(**json.loads(str(data["params_json"])))
+    with np.load(str(path), allow_pickle=False) as data:
+        return SimParams(**json.loads(str(data["params_json"])))
 
 
 def load_checkpoint(path, sim) -> None:
@@ -91,6 +91,19 @@ def load_checkpoint(path, sim) -> None:
             "resume with the same --texel-density the run was computed with"
         )
     if has_tex_sim:
+        # the atlas layout is a function of (texel_density, texel_max_slots):
+        # restoring a density-8 slot array into a density-4 atlas would put
+        # every count in the wrong (triangle, cell) — require equality BEFORE
+        # looking at shapes (shapes can coincide across densities)
+        ck_params = json.loads(str(data["params_json"]))
+        for f in ("texel_density", "texel_max_slots"):
+            if ck_params.get(f) != getattr(sim.params, f):
+                raise ValueError(
+                    f"checkpoint was computed with {f}="
+                    f"{ck_params.get(f)} but the simulator has "
+                    f"{getattr(sim.params, f)} — resume with the run's "
+                    "original texel flags (atlas layouts differ)"
+                )
         saved = np.asarray(data["photon_map_tex"])
         ns = sim.atlas.n_slots
         # older checkpoints carried the saving topology's shard padding;
@@ -98,7 +111,7 @@ def load_checkpoint(path, sim) -> None:
         if saved.shape[0] < ns:
             raise ValueError(
                 f"checkpoint texel map has {saved.shape[0]} slots, atlas "
-                f"needs {ns} — checkpoint is for a different texel density"
+                f"needs {ns} — corrupt or mismatched checkpoint"
             )
         # re-pad for THIS simulator's texel-shard alignment, then restore
         # with the sharding reset() established (each device keeps only its

@@ -506,6 +506,9 @@ def traverse_mxu_counts(
     chunks, i.e. no masked tail)."""
     r = orig.shape[0]
     packet = min(packet, r)  # small launches fall back to one whole packet
+    while r % packet and packet > PACKET:
+        packet //= 2  # e.g. r=6144 with packet=4096 -> 2048 (bounce default
+        #   is 4096; ray counts are always multiples of 1024)
     assert r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)
@@ -544,6 +547,9 @@ def traverse_mxu_slots(
     while per-visit fixed costs multiply 8-fold (PERF.md round-4)."""
     r = orig.shape[0]
     packet = min(packet, r)  # small launches fall back to one whole packet
+    while r % packet and packet > PACKET:
+        packet //= 2  # e.g. r=6144 with packet=4096 -> 2048 (bounce default
+        #   is 4096; ray counts are always multiples of 1024)
     assert r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)

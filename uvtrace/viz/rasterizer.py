@@ -198,9 +198,11 @@ def render_textured(
     tex = np.asarray(mesh.texture)
     h, w = tex.shape[:2]
     # GL_REPEAT + nearest sampling (the reference uploads with default
-    # wrap/filter state, mesh.cpp:166-199)
-    tx = np.clip(((uvbuf[..., 0] % 1.0) * (w - 1)).astype(np.int64), 0, w - 1)
-    ty = np.clip(((uvbuf[..., 1] % 1.0) * (h - 1)).astype(np.int64), 0, h - 1)
+    # wrap/filter state, mesh.cpp:166-199). floor(u * w), NOT u * (w-1):
+    # the latter shifts texels by up to a pixel across the image and samples
+    # the baked atlas's zeroed gutters at block edges (black seams)
+    tx = np.clip(np.floor((uvbuf[..., 0] % 1.0) * w).astype(np.int64), 0, w - 1)
+    ty = np.clip(np.floor((uvbuf[..., 1] % 1.0) * h).astype(np.int64), 0, h - 1)
     img = np.where(hitbuf[..., None], tex[ty, tx].astype(np.float32) / 255.0, 0.0)
     img = np.clip(img, 0.0, 1.0)
     if gamma:
