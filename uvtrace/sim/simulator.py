@@ -570,48 +570,65 @@ class Simulator:
 
         Returns float32[res, res] in the same units as dosage_map(view).
         """
+        # Everything device-side: probe generation, extend, slot remap,
+        # barycentrics, and the dose lookup all run on-chip; the ONLY
+        # host<->device traffic is the final res x res image. (The previous
+        # host-side version uploaded/downloaded ~30 B/probe — ~500 MB at 4K
+        # through the remote-chip tunnel, measured 126 s; device-side the 4K
+        # grid is seconds.)
         verts = np.asarray(self.mesh.tris).reshape(-1, 3)
         lo, hi = verts.min(axis=0), verts.max(axis=0)
-        xs = np.linspace(lo[0], hi[0], res, dtype=np.float32)
-        zs = np.linspace(lo[2], hi[2], res, dtype=np.float32)
-        gx, gz = np.meshgrid(xs, zs, indexing="xy")
         n = res * res
         # pad so the probe batch splits evenly over ray shards into whole
         # 1024-ray packets (padding rays are parked outside the scene)
         ray_shards = self._n_dev // self._tex_shards
         pad = (-n) % (1024 * ray_shards)
-        orig = np.stack(
-            [gx.ravel(), np.full(n, hi[1] + 0.1, np.float32), gz.ravel()], axis=-1
-        )
-        if pad:
-            orig = np.concatenate([orig, np.full((pad, 3), 1e6, np.float32)])
-        direction = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n + pad, 1))
-        res_t = self._extend_probes(jnp.asarray(orig), jnp.asarray(direction))
-        hit = np.asarray(res_t[1])[:n]
-        if self._slot_map is not None:
-            sm = np.asarray(self._slot_map)
-            hit = np.where(hit >= 0, sm[np.maximum(hit, 0)], -1)
         if texels is None:
             texels = self.atlas is not None
+        if texels and self.atlas is None:
+            raise ValueError("dose_grid(texels=True) needs params.texel_density > 0")
+
+        xs = jnp.linspace(lo[0], hi[0], res, dtype=jnp.float32)
+        zs = jnp.linspace(lo[2], hi[2], res, dtype=jnp.float32)
+        gx, gz = jnp.meshgrid(xs, zs, indexing="xy")
+        orig = jnp.stack(
+            [gx.ravel(), jnp.full((n,), hi[1] + 0.1, jnp.float32), gz.ravel()],
+            axis=-1,
+        )
+        if pad:
+            orig = jnp.concatenate([orig, jnp.full((pad, 3), 1e6, jnp.float32)])
+        direction = jnp.broadcast_to(
+            jnp.array([0.0, -1.0, 0.0], jnp.float32), (n + pad, 3)
+        )
+        res_t = self._extend_probes(orig, direction)
+        t_hit, hit = res_t[0], res_t[1]
+        if self.device_mesh is not None:
+            # replicate before the eager slices/gathers below (their output
+            # shardings are ambiguous on P('rays') operands)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.device_mesh, P())
+            t_hit = jax.device_put(t_hit, rep)
+            hit = jax.device_put(hit, rep)
+        t_hit, hit = t_hit[:n], hit[:n]
+        if self._slot_map is not None:
+            hit = jnp.where(hit >= 0, self._slot_map[jnp.maximum(hit, 0)], -1)
         if texels:
-            if self.atlas is None:
-                raise ValueError("dose_grid(texels=True) needs params.texel_density > 0")
             from uvtrace.ops.texel import barycentrics, texel_ids
 
-            t_hit = np.asarray(res_t[0])[:n]
-            tris = np.asarray(self.mesh.tris)
-            safe = np.maximum(hit, 0)
+            tris = jnp.asarray(self.mesh.tris)
+            safe = jnp.maximum(hit, 0)
             v0 = tris[safe, 0]
             e1 = tris[safe, 1] - v0
             e2 = tris[safe, 2] - v0
             u, v = barycentrics(orig[:n], direction[:n], t_hit, v0, e1, e2)
-            slots = np.asarray(texel_ids(self.atlas, jnp.asarray(hit), u, v))
-            tex_dose = np.asarray(self.dosage_map_texels(view))
-            img = np.where(slots >= 0, tex_dose[np.maximum(slots, 0)], 0.0)
+            slots = texel_ids(self.atlas, hit, u, v)
+            tex_dose = self.dosage_map_texels(view)
+            img = jnp.where(slots >= 0, tex_dose[jnp.maximum(slots, 0)], 0.0)
         else:
-            dose = np.asarray(self.dosage_map(view))
-            img = np.where(hit >= 0, dose[np.maximum(hit, 0)], 0.0)
-        return img.astype(np.float32).reshape(res, res)
+            dose = self.dosage_map(view)
+            img = jnp.where(hit >= 0, dose[jnp.maximum(hit, 0)], 0.0)
+        return np.asarray(img, np.float32).reshape(res, res)
 
     def _extend_probes(self, orig, direction):
         """Extend a probe batch, sharded over the device mesh's ray axis when
