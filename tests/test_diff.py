@@ -105,3 +105,122 @@ def test_route_optimization_improves_min_dose(room_scene):
     assert np.isfinite(res.final_min_dose)
     # waypoint should move toward the room interior
     assert np.linalg.norm(res.waypoints_xz[0]) < np.linalg.norm(init_wp[0])
+
+
+class TestOneBounce:
+    """Differentiable diffuse interreflection with per-surface reflectance
+    (SURVEY.md §7: gradients w.r.t. ... per-surface reflectance)."""
+
+    def _e1(self, scene, room, rho, key=0, **kw):
+        from uvtrace.diff import one_bounce_irradiance
+
+        return one_bounce_irradiance(
+            scene, jnp.array([0.0, 0.0]), room.floor_height + 0.8, 1.0,
+            450.0, rho, jnp.asarray(room.areas), jax.random.PRNGKey(key), **kw
+        )
+
+    def test_positive_and_scales_linearly_with_rho(self, room_scene):
+        room, scene = room_scene
+        t = room.triangle_count
+        e1 = self._e1(scene, room, jnp.full((t,), 0.5))
+        e2 = self._e1(scene, room, jnp.full((t,), 1.0))
+        e1, e2 = np.asarray(e1), np.asarray(e2)
+        assert np.isfinite(e1).all() and (e1 >= 0).all() and e1.max() > 0
+        np.testing.assert_allclose(e2, 2.0 * e1, rtol=1e-5)
+
+    def test_reflectance_gradient_exact(self, room_scene):
+        """E1 is LINEAR in reflectance, so AD gradients equal finite
+        differences to float precision (same key = same estimator)."""
+        from uvtrace.diff import one_bounce_irradiance
+
+        room, scene = room_scene
+        t = room.triangle_count
+        rho0 = jnp.full((t,), 0.4)
+
+        def j(rho):
+            return jnp.sum(self._e1(scene, room, rho, n_samples=2, n_sources=16))
+
+        g = np.asarray(jax.grad(j)(rho0))
+        eps = 0.05
+        for i in (0, t // 2):
+            basis = jnp.zeros((t,)).at[i].set(1.0)
+            fd = (j(rho0 + eps * basis) - j(rho0 - eps * basis)) / (2 * eps)
+            np.testing.assert_allclose(g[i], float(fd), rtol=1e-3, atol=1e-7)
+
+    def test_lamp_gradient_matches_fd(self, room_scene):
+        """Lamp-position gradients flow through the source irradiance;
+        CRN makes FD of the same estimator meaningful (away from
+        silhouettes — the documented visibility contract)."""
+        room, scene = room_scene
+        t = room.triangle_count
+        rho = jnp.full((t,), 0.5)
+
+        def j(xz):
+            from uvtrace.diff import one_bounce_irradiance
+
+            return jnp.sum(
+                one_bounce_irradiance(
+                    scene, xz, room.floor_height + 0.8, 1.0, 450.0, rho,
+                    jnp.asarray(room.areas), jax.random.PRNGKey(3),
+                    n_samples=2, n_sources=16,
+                )
+            )
+
+        xz0 = jnp.array([0.1, -0.2])
+        g = np.asarray(jax.grad(j)(xz0))
+        for i in range(2):
+            e = jnp.zeros((2,)).at[i].set(1e-3)
+            fd = (j(xz0 + e) - j(xz0 - e)) / 2e-3
+            np.testing.assert_allclose(g[i], float(fd), rtol=5e-2, atol=1e-4)
+
+    def test_cross_validates_count_bounce_estimator(self):
+        """Expected bounce-arrival flux of the count estimator (survive w.p.
+        rho, cosine re-emission) equals A_t * E1_t: total bounce dose agrees
+        between the two estimators on a closed box."""
+        room = make_box_room(subdivisions=3, clutter=0, seed=5)
+        rho = 0.5
+        p0 = SimParams(photon_count=1 << 18, max_iterations=2, seed=2)
+        direct = Simulator(room, p0, route=[LightPos(0.0, 0.0, 1.0)])
+        direct.compute()
+        p1 = dataclasses.replace(p0, max_bounces=1, reflectance=rho)
+        both = Simulator(room, p1, route=[LightPos(0.0, 0.0, 1.0)])
+        both.compute()
+        bounce_dose = np.asarray(both.dosage_map()) - np.asarray(direct.dosage_map())
+
+        from uvtrace.diff import one_bounce_irradiance
+
+        scene = make_diff_scene(room)
+        e1 = one_bounce_irradiance(
+            scene, jnp.array([0.0, 0.0]), room.floor_height + 0.8, 1.0,
+            p0.light_intensity, jnp.full((room.triangle_count,), rho),
+            jnp.asarray(room.areas), jax.random.PRNGKey(4),
+            n_samples=8, n_sources=256,
+        )
+        # dose units: 0.1 * duration * E (Report §3 Eq. 1); duration=1
+        diff_dose = 0.1 * np.asarray(e1)
+        # area-weighted means (total flux) agree
+        a = np.asarray(room.areas)
+        np.testing.assert_allclose(
+            (bounce_dose * a).sum(), (diff_dose * a).sum(), rtol=0.15
+        )
+
+
+def test_route_dose_with_bounce_term(room_scene):
+    """route_dose(reflectance=...) adds the differentiable one-bounce term;
+    dose strictly increases everywhere dose was already positive."""
+    room, scene = room_scene
+    wp = jnp.array([[0.0, 0.0]])
+    durs = jnp.array([60.0])
+    base = route_dose(
+        scene, wp, durs, room.floor_height + 0.8, 1.0, 450.0,
+        jax.random.PRNGKey(0), n_samples=2,
+    )
+    withb = route_dose(
+        scene, wp, durs, room.floor_height + 0.8, 1.0, 450.0,
+        jax.random.PRNGKey(0), n_samples=2,
+        reflectance=jnp.full((room.triangle_count,), 0.5),
+        areas=jnp.asarray(room.areas), n_sources=16,
+    )
+    base, withb = np.asarray(base), np.asarray(withb)
+    assert (withb >= base - 1e-6).all()
+    assert withb.sum() > base.sum()

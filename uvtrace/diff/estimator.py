@@ -141,6 +141,106 @@ def irradiance(
     return power * jnp.mean(g * vis, axis=0)  # [T]
 
 
+def _points_direct(
+    scene: DiffScene, pts, normals, lamp_xz, rod_base_y, rod_length, power,
+    key, n_rod: int,
+):
+    """Differentiable direct irradiance at arbitrary surface points
+    pts f32[M,3] with unit normals f32[M,3] — the same rod-sampled
+    G x V estimator as `irradiance`, point-wise. Returns f32[M]."""
+    u_rod = jax.random.uniform(key, (n_rod, 1))
+    rod_points = jnp.concatenate(
+        [
+            jnp.broadcast_to(lamp_xz[0], (n_rod, 1)),
+            rod_base_y + u_rod * rod_length,
+            jnp.broadcast_to(lamp_xz[1], (n_rod, 1)),
+        ],
+        axis=-1,
+    )[:, None, :]  # [R,1,3]
+    d = pts[None] - rod_points  # [R,M,3]
+    dist2 = jnp.sum(d * d, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    cos = jnp.abs(jnp.sum(d * normals[None], axis=-1)) / dist
+    g = cos / (4.0 * np.pi * jnp.maximum(dist2, 1e-12))
+    qs = jnp.broadcast_to(pts[None], (n_rod,) + pts.shape)  # [R,M,3]
+    vis = jax.lax.stop_gradient(_visibility(scene, rod_points, qs))
+    return power * jnp.mean(g * vis, axis=0)  # [M]
+
+
+def one_bounce_irradiance(
+    scene: DiffScene,
+    lamp_xz,
+    rod_base_y,
+    rod_length,
+    power,
+    reflectance,
+    areas,
+    key,
+    *,
+    n_samples: int = 4,
+    n_sources: int = 64,
+) -> jax.Array:
+    """Differentiable ONE-BOUNCE (diffuse interreflection) irradiance
+    E1_t in W/m^2 with per-triangle reflectance `reflectance` f32[T] —
+    the differentiable counterpart of the count-based bounce mode
+    (ops/bounce.py: survive w.p. rho, re-emit cosine-weighted; its expected
+    per-triangle arrival flux equals  A_t * E1_t  below).
+
+    Estimator: area-weighted source points x_m (prob ∝ A_s), Lambertian
+    transfer to receiver samples q on every triangle:
+
+      E1_t = mean_q  sum_m  w_m * rho(s_m) * E_dir(x_m)
+                      * cos_m * cos_t / (pi r^2) * V(x_m, q)
+      with importance weight  w_m = A_total / n_sources.
+
+    Gradients: EXACT and linear in `reflectance`; lamp/rod/power gradients
+    flow through E_dir (same stop-gradient visibility contract as
+    `irradiance`). Double-sided cosines match the reference's backface-
+    accepting Möller–Trumbore (cl/extend.cl:6-27).
+
+    areas: f32[T] triangle areas (mesh.areas).
+    """
+    keys = jax.random.split(key, 4)
+    t_count = scene.v0.shape[0]
+    areas = jnp.asarray(areas)
+    probs = areas / jnp.sum(areas)
+    src = jax.random.choice(keys[0], t_count, (n_sources,), p=probs)
+    ku, kv = jax.random.split(keys[1])
+    u = jax.random.uniform(ku, (n_sources, 1))
+    v = jax.random.uniform(kv, (n_sources, 1))
+    flip = (u + v) > 1.0
+    u = jnp.where(flip, 1.0 - u, u)
+    v = jnp.where(flip, 1.0 - v, v)
+    x_m = scene.v0[src] + u * scene.e1[src] + v * scene.e2[src]  # [M,3]
+    n_m = scene.normal[src]
+    rho_m = jnp.asarray(reflectance)[src]
+
+    e_dir = _points_direct(
+        scene, x_m, n_m, lamp_xz, rod_base_y, rod_length, power,
+        keys[2], n_rod=max(4, n_samples),
+    )  # [M]
+
+    qs = _sample_triangle_points(scene, keys[3], n_samples)  # [S,T,3]
+    d = qs[None] - x_m[:, None, None, :]  # [M,S,T,3]
+    dist2 = jnp.sum(d * d, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    cos_m = jnp.abs(jnp.sum(d * n_m[:, None, None, :], axis=-1)) / dist
+    cos_t = jnp.abs(jnp.sum(d * scene.normal[None, None], axis=-1)) / dist
+    # visibility x_m -> q: one shadow-ray batch per source point
+    s, t = qs.shape[0], qs.shape[1]
+    vis = jax.lax.stop_gradient(
+        _visibility(
+            scene,
+            x_m[:, None, :],  # [M,1,3]
+            jnp.broadcast_to(qs.reshape(1, s * t, 3), (n_sources, s * t, 3)),
+        )
+    ).reshape(n_sources, s, t)
+    w = jnp.sum(areas) / n_sources
+    transfer = cos_m * cos_t / (np.pi * jnp.maximum(dist2, 1e-12)) * vis
+    contrib = (rho_m * e_dir)[:, None, None] * transfer  # [M,S,T]
+    return w * jnp.mean(jnp.sum(contrib, axis=0), axis=0)  # [T]
+
+
 def route_dose(
     scene: DiffScene,
     waypoints_xz,
@@ -151,25 +251,47 @@ def route_dose(
     key,
     *,
     n_samples: int = 8,
+    reflectance=None,
+    areas=None,
+    n_sources: int = 64,
 ) -> jax.Array:
     """Differentiable cumulative dose [mJ/cm^2] over a route.
 
     dose_t = 0.1 * sum_w duration_w * E_t(lamp_w)   (Report §3 Eq. 1 units)
 
     waypoints_xz: f32[W,2]; durations: f32[W] (both differentiable).
+    reflectance: optional f32[T] — adds the one-bounce interreflection term
+    (one_bounce_irradiance; requires `areas`); gradients then also flow
+    w.r.t. the reflectances.
     """
+    if reflectance is not None and areas is None:
+        raise ValueError("route_dose(reflectance=...) needs areas=mesh.areas")
 
     def one(w, carry):
         acc = carry
+        kw_ = jax.random.fold_in(key, w)
         e = irradiance(
             scene,
             waypoints_xz[w],
             rod_base_y,
             rod_length,
             power,
-            jax.random.fold_in(key, w),
+            kw_,
             n_samples=n_samples,
         )
+        if reflectance is not None:
+            e = e + one_bounce_irradiance(
+                scene,
+                waypoints_xz[w],
+                rod_base_y,
+                rod_length,
+                power,
+                reflectance,
+                areas,
+                jax.random.fold_in(kw_, 1),
+                n_samples=n_samples,
+                n_sources=n_sources,
+            )
         return acc + durations[w] * e
 
     acc = jnp.zeros((scene.v0.shape[0],))
