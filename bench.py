@@ -67,7 +67,7 @@ def main():
     areas = jnp.asarray(mesh.areas)
 
     backend = os.environ.get("UVTRACE_BENCH_BACKEND", "mxu-fused")
-    cs = build_clusters(mesh.tris, cluster_size=64 if backend.startswith("mxu") else 128)
+    cs = build_clusters(mesh.tris, cluster_size=128)  # product default (PERF.md r4)
     slot_map = None
     fused = None
     if backend in ("mxu", "mxu-fused", "pallas") and jax.default_backend() == "cpu":

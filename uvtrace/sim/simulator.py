@@ -129,18 +129,14 @@ class Simulator:
             from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
             if cluster_size is None:
-                # 64-tri clusters measured fastest for the MXU kernel on
-                # coherent packets (tighter AABBs beat matmul batching); the
-                # XLA clustered path amortizes better at 128. Bounce mode
-                # flips the trade: incoherent packets are per-visit-fixed-
-                # cost-bound, and C=128 leaf tiles measured 2.7x faster on
-                # bounce segments while costing ~2% on the (small) direct
-                # segment (PERF.md round-4 sweep) — one cluster size must
-                # serve both because hit ids live in ONE slot space.
-                if backend.startswith("mxu"):
-                    cluster_size = 128 if params.max_bounces > 0 else 64
-                else:
-                    cluster_size = 128
+                # 128-tri clusters for every backend: the round-3 C=64
+                # advantage on coherent packets was fence-bias noise — with
+                # honest steady-state timing C=64 and C=128 measure equal on
+                # the direct fused path (40.0 vs 40.0 Mrays/s, identical hit
+                # totals), and C=128 is decisively faster on incoherent
+                # bounce segments (per-visit-fixed-cost-bound regime;
+                # PERF.md round-4 sweep). One size also keeps one slot space.
+                cluster_size = 128
             if use_native:
                 self.clusters = native_builder.build_clusters_native(
                     mesh.tris, cluster_size=cluster_size
