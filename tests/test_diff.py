@@ -224,3 +224,31 @@ def test_route_dose_with_bounce_term(room_scene):
     base, withb = np.asarray(base), np.asarray(withb)
     assert (withb >= base - 1e-6).all()
     assert withb.sum() > base.sum()
+
+
+def test_optimize_durations_false_freezes_durations(room_scene):
+    """optimize_durations=False must actually freeze dwell times (optax
+    masked() passed the raw gradient through — unscaled ASCENT on the
+    frozen leaf; multi_transform + set_to_zero freezes for real)."""
+    room, scene = room_scene
+    init_wp = np.array([[0.2, 0.1], [-0.4, 0.3]], np.float32)
+    init_durs = np.array([40.0, 20.0], np.float32)
+    res = optimize_route(
+        scene, init_wp, init_durs, room.floor_height + 0.8, 1.0, 450.0,
+        steps=3, n_samples=2, optimize_durations=False,
+    )
+    np.testing.assert_allclose(res.durations, init_durs, rtol=1e-5)
+    assert not np.allclose(res.waypoints_xz, init_wp)  # positions did move
+
+
+def test_optimize_bounds_init_roundtrip(room_scene):
+    """With bounds=, optimization must START from the requested waypoints
+    (inverse-sigmoid init): zero steps returns the init, inside bounds."""
+    room, scene = room_scene
+    init_wp = np.array([[2.0, 3.0]], np.float32)
+    res = optimize_route(
+        scene, init_wp, np.array([60.0], np.float32),
+        room.floor_height + 0.8, 1.0, 450.0,
+        steps=0, n_samples=2, bounds=((0.0, 0.0), (5.0, 5.0)),
+    )
+    np.testing.assert_allclose(res.waypoints_xz, init_wp, atol=1e-3)

@@ -286,3 +286,26 @@ def test_render_textured_per_pixel():
     # fallback path (no texture) still renders
     img2 = render_textured(TriangleMesh(tris=tris), camera=cam, width=64, height=64)
     assert img2.max() > 0
+
+
+def test_checkpoint_restores_per_triangle_reflectance(tmp_path, small_room):
+    """Resuming a bounce run restores the DERIVED reflectance array, not
+    just params: tracing a resumed 4-bounce run with stale rho=0 would kill
+    every photon at the first hit — silent dose under-estimation."""
+    p = SimParams(photon_count=1 << 11, max_iterations=2, seed=5,
+                  max_bounces=2, reflectance=0.3)
+    sim = Simulator(small_room, p, route=[LightPos(0.0, 0.0, 1.0)])
+    rho = np.linspace(0.1, 0.8, small_room.triangle_count).astype(np.float32)
+    sim.set_reflectance(rho)
+    sim.run_iteration()
+    save_checkpoint(tmp_path / "ck.npz", sim)
+
+    sim2 = Simulator(small_room, SimParams())  # plain construction (render/CLI path)
+    load_checkpoint(tmp_path / "ck.npz", sim2)
+    np.testing.assert_allclose(np.asarray(sim2.reflectance), rho, rtol=1e-6)
+    # the resumed run continues bit-identically to the in-process run
+    sim.run_iteration()
+    sim2.run_iteration()
+    np.testing.assert_array_equal(
+        np.asarray(sim2.photon_map), np.asarray(sim.photon_map)
+    )

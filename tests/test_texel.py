@@ -120,3 +120,20 @@ def test_texel_map_resolves_gradients(texel_sim):
         if cells.mean() > 0:
             spreads.append(cells.std() / (cells.mean() + 1e-9))
     assert max(spreads) > 0.05  # nontrivial intra-triangle variation
+
+
+def test_atlas_budget_is_a_hard_cap():
+    """sum(k^2) <= max_slots even when the k>=1 floor fights the scale-down;
+    a budget below the triangle count is a hard error."""
+    import numpy as np
+    import pytest
+
+    from uvtrace.ops.texel import build_atlas
+
+    rng = np.random.default_rng(3)
+    areas = rng.uniform(0.001, 4.0, size=5000)
+    atlas = build_atlas(areas, density=64.0, max_slots=6000)
+    assert atlas.n_slots <= 6000
+    assert int(np.asarray(atlas.k).min()) >= 1
+    with pytest.raises(ValueError, match="triangle count"):
+        build_atlas(areas, density=1.0, max_slots=4999)

@@ -53,7 +53,7 @@ class DiffScene(NamedTuple):
     extend_fn: object
 
 
-def make_diff_scene(mesh, max_clusters: int = 48) -> DiffScene:
+def make_diff_scene(mesh, max_clusters=None) -> DiffScene:
     from uvtrace.ops.cluster import build_clusters
     from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
@@ -64,6 +64,12 @@ def make_diff_scene(mesh, max_clusters: int = 48) -> DiffScene:
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     cs = build_clusters(mesh.tris, cluster_size=128)
     ca = cluster_arrays(cs)
+    if max_clusters is None:
+        # shadow-ray packets point from one source to samples spread over
+        # EVERY triangle — their frustum covers the whole scene, so any
+        # nearest-entry budget silently drops occluders (V=1 where shadowed:
+        # over-estimated dose AND wrong gradients). No budget: exact.
+        max_clusters = cs.n_clusters
     extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
     return DiffScene(v0=v0, e1=e1, e2=e2, normal=n, trav_scene=ca, extend_fn=extend)
 

@@ -58,6 +58,14 @@ def optimize_route(
     bounds: optional ((xmin, zmin), (xmax, zmax)) box constraint on waypoints.
     """
     wp = jnp.asarray(init_waypoints_xz, jnp.float32)
+    if bounds is not None:
+        # the objective maps raw params through lo + (hi-lo)*sigmoid(wp), so
+        # the raw init must be the INVERSE transform (logit) of the requested
+        # starting positions — otherwise optimization starts from the wrong
+        # waypoints (and saturates for |x| > ~4)
+        lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
+        frac = jnp.clip((wp - lo) / jnp.maximum(hi - lo, 1e-9), 1e-4, 1 - 1e-4)
+        wp = jnp.log(frac) - jnp.log1p(-frac)
     total_time = float(np.sum(init_durations))
     # durations through a softmax -> fixed total time budget
     logits = jnp.log(jnp.asarray(init_durations, jnp.float32) / total_time)
@@ -89,9 +97,16 @@ def optimize_route(
         return -softmin(dose[mask], temperature)
 
     params = (wp, logits)
-    opt = optax.adam(learning_rate)
-    if not optimize_durations:
-        opt = optax.masked(opt, (True, False))
+    if optimize_durations:
+        opt = optax.adam(learning_rate)
+    else:
+        # multi_transform, NOT optax.masked(adam, mask): masked leaves the
+        # masked-out leaf's update as the RAW gradient (unscaled ascent on
+        # the frozen durations); set_to_zero actually freezes them
+        opt = optax.multi_transform(
+            {"opt": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
+            ("opt", "frozen"),
+        )
     state = opt.init(params)
     val_grad = jax.jit(jax.value_and_grad(objective))
 

@@ -49,6 +49,11 @@ def save_checkpoint(path, sim) -> None:
         params_json=json.dumps(params),
         route=np.asarray(route, np.float64),
         triangle_count=np.int64(sim.triangle_count),
+        # per-triangle reflectance (bounce survival): a derived DEVICE array
+        # (set_reflectance may have replaced the params scalar); restoring
+        # params alone would leave a resumed bounce run tracing with the
+        # constructing simulator's stale values — silent dose bias
+        reflectance=np.asarray(sim.reflectance),
         # per-lamp launch size actually used when max_photon_map was
         # accumulated — MAX_POWER normalizes by it (raytracer.cpp:96-105
         # normalizes by the photonsPerLight it launched with); without it a
@@ -137,3 +142,7 @@ def load_checkpoint(path, sim) -> None:
     params = json.loads(str(data["params_json"]))
     sim.params = SimParams(**params)
     sim.route = [LightPos(x, y, d) for x, y, d in data["route"]]
+    if "reflectance" in data:
+        sim.set_reflectance(np.asarray(data["reflectance"]))
+    else:  # pre-format checkpoint: rebuild from the restored params scalar
+        sim.set_reflectance(sim.params.reflectance)

@@ -38,13 +38,22 @@ class TexelAtlas(NamedTuple):
 
 def build_atlas(areas: np.ndarray, density: float = 16.0, max_slots: int = 1 << 22) -> TexelAtlas:
     """Allocate texel grids: k_t ~ sqrt(area)*density, >=1, capped so
-    sum(k^2) <= max_slots (scaled down uniformly if needed)."""
+    sum(k^2) <= max_slots (scaled down uniformly, iterated: the k >= 1 floor
+    means a single pass can land above the cap when many triangles clamp)."""
     areas = np.asarray(areas, np.float64)
+    if areas.shape[0] > max_slots:
+        raise ValueError(
+            f"texel_max_slots={max_slots} is below the triangle count "
+            f"({areas.shape[0]}): every triangle needs at least one texel — "
+            "raise the budget or use per-triangle accumulation"
+        )
     k = np.maximum(1, np.ceil(np.sqrt(np.maximum(areas, 0.0)) * density)).astype(np.int64)
-    total = int((k**2).sum())
-    if total > max_slots:
-        scale = np.sqrt(max_slots / total)
-        k = np.maximum(1, np.floor(k * scale)).astype(np.int64)
+    while int((k**2).sum()) > max_slots:
+        scale = np.sqrt(max_slots / (k**2).sum())
+        k_new = np.maximum(1, np.floor(k * scale)).astype(np.int64)
+        if (k_new == k).all():  # all clamped at 1 or floor made no progress
+            k_new = np.maximum(1, k - 1)
+        k = k_new
     base = np.concatenate([[0], np.cumsum(k**2)[:-1]]).astype(np.int64)
     n_slots = int((k**2).sum())
     cell_area = (areas / (k**2)).astype(np.float32)

@@ -404,10 +404,6 @@ class Simulator:
         reference's DFS visits every overlapped node (cl/extend.cl:40-81);
         silently under-counting dose is the one unacceptable failure mode in
         a disinfection simulator."""
-        import warnings
-
-        from uvtrace.ops.traverse_clustered import traverse_clustered
-
         while True:
             counts, tex_counts, overflow = self._launch_once(rng_in, lamp_xyz, n, chunk)
             if self.backend != "clustered":
@@ -416,27 +412,37 @@ class Simulator:
             #   reference syncs every frame too: clFinish, myapp.cpp:165)
             if dropped == 0:
                 return counts, tex_counts
-            if self._max_clusters >= self._l_count:
-                raise RuntimeError(
-                    "clustered traversal dropped candidate clusters even at "
-                    "the maximum budget — this should be impossible; please "
-                    "report (or use traversal='mxu'/'jax')."
-                )
-            new_budget = min(self._l_count, self._max_clusters * 4)
-            warnings.warn(
-                f"per-packet cluster budget {self._max_clusters} dropped "
-                f"{dropped} candidate cluster(s); retrying the launch with "
-                f"budget {new_budget}. Incoherent rays (iid samplers, small "
-                "launches, bounces) need large budgets — traversal='mxu' is "
-                "budget-free and faster on TPU.",
-                RuntimeWarning,
-                stacklevel=3,
+            self._escalate_cluster_budget(dropped)
+
+    def _escalate_cluster_budget(self, dropped: int):
+        """Grow the clustered backend's per-packet budget after a reported
+        drop and invalidate the compiled launches (same RNG -> the redone
+        launch traces bit-identical photons, just none dropped)."""
+        import warnings
+
+        from uvtrace.ops.traverse_clustered import traverse_clustered
+
+        if self._max_clusters >= self._l_count:
+            raise RuntimeError(
+                "clustered traversal dropped candidate clusters even at "
+                "the maximum budget — this should be impossible; please "
+                "report (or use traversal='mxu'/'jax')."
             )
-            self._max_clusters = new_budget
-            self._extend = functools.partial(
-                traverse_clustered, max_clusters=new_budget, return_overflow=True
-            )
-            self._sharded_cache.clear()
+        new_budget = min(self._l_count, self._max_clusters * 4)
+        warnings.warn(
+            f"per-packet cluster budget {self._max_clusters} dropped "
+            f"{dropped} candidate cluster(s); retrying with budget "
+            f"{new_budget}. Incoherent rays (iid samplers, small launches, "
+            "bounces, probe slabs) need large budgets — traversal='mxu' is "
+            "budget-free and faster on TPU.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        self._max_clusters = new_budget
+        self._extend = functools.partial(
+            traverse_clustered, max_clusters=new_budget, return_overflow=True
+        )
+        self._sharded_cache.clear()
 
     def _launch_sharded(self, rng_in, lamp_xyz, n: int, chunk: int):
         """The multi-chip flavor of one lamp launch: the SAME launch_counts
@@ -551,11 +557,20 @@ class Simulator:
         res: int = 256,
         view: ViewMode = ViewMode.DOSAGE,
         texels: Optional[bool] = None,
+        skip_ceiling: bool = True,
+        ceiling_margin: float = 0.05,
     ):
         """Fixed-resolution top-down dose image (BASELINE config 1's
         '256^2 dose map'): a res x res grid of downward probe rays over the
         scene footprint; each cell reports the dose of the first surface the
         probe hits (floor, bed, table tops — what a floor-plan heatmap shows).
+
+        skip_ceiling (default True): probes start above the scene and
+        Möller–Trumbore accepts both faces, so in a room with a roof the
+        first hit IS the ceiling; probes whose hit lies within
+        `ceiling_margin` of the scene top are re-cast from just below their
+        hit point so the grid shows what a floor plan shows. Set False for
+        the raw first-hit image.
 
         When a texel atlas exists each probe samples its TEXEL's dose
         (barycentrics -> atlas slot), not the triangle average — a 4K grid
@@ -584,8 +599,13 @@ class Simulator:
         if texels and self.atlas is None:
             raise ValueError("dose_grid(texels=True) needs params.texel_density > 0")
 
-        xs = jnp.linspace(lo[0], hi[0], res, dtype=jnp.float32)
-        zs = jnp.linspace(lo[2], hi[2], res, dtype=jnp.float32)
+        # probe CELL CENTERS, not corners: corner probes land exactly on
+        # the scene AABB boundary and on quad diagonals (shared-edge t-ties
+        # whose winner is tie-break-order dependent); centers are also the
+        # correct image-sampling convention
+        idx = jnp.arange(res, dtype=jnp.float32) + 0.5
+        xs = lo[0] + idx * ((hi[0] - lo[0]) / res)
+        zs = lo[2] + idx * ((hi[2] - lo[2]) / res)
         gx, gz = jnp.meshgrid(xs, zs, indexing="xy")
         orig = jnp.stack(
             [gx.ravel(), jnp.full((n,), hi[1] + 0.1, jnp.float32), gz.ravel()],
@@ -596,16 +616,37 @@ class Simulator:
         direction = jnp.broadcast_to(
             jnp.array([0.0, -1.0, 0.0], jnp.float32), (n + pad, 3)
         )
-        res_t = self._extend_probes(orig, direction)
-        t_hit, hit = res_t[0], res_t[1]
-        if self.device_mesh is not None:
-            # replicate before the eager slices/gathers below (their output
-            # shardings are ambiguous on P('rays') operands)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        def extend_replicated(o, d):
+            r = self._extend_probes(o, d)
+            th, h = r[0], r[1]
+            if self.device_mesh is not None:
+                # replicate before the eager slices/gathers below (their
+                # output shardings are ambiguous on P('rays') operands)
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(self.device_mesh, P())
-            t_hit = jax.device_put(t_hit, rep)
-            hit = jax.device_put(hit, rep)
+                rep = NamedSharding(self.device_mesh, P())
+                th = jax.device_put(th, rep)
+                h = jax.device_put(h, rep)
+            return th, h
+
+        t_hit, hit = extend_replicated(orig, direction)
+        # degenerate flat scenes (a bare floor): the top IS the target
+        if hi[1] - lo[1] <= 10 * ceiling_margin:
+            skip_ceiling = False
+        if skip_ceiling:
+            # re-cast probes that hit within ceiling_margin of the scene top
+            # from just below their hit point; others park outside
+            p_y = orig[:, 1] - t_hit  # direction is (0,-1,0)
+            near_top = (hit >= 0) & (p_y > hi[1] - ceiling_margin)
+            orig2 = jnp.where(
+                near_top[:, None],
+                orig.at[:, 1].set(p_y - 1e-3),
+                jnp.full_like(orig, 1e6),
+            )
+            t2, hit2 = extend_replicated(orig2, direction)
+            use2 = near_top & (hit2 >= 0)
+            t_hit = jnp.where(use2, (orig[:, 1] - orig2[:, 1]) + t2, t_hit)
+            hit = jnp.where(near_top, jnp.where(use2, hit2, -1), hit)
         t_hit, hit = t_hit[:n], hit[:n]
         if self._slot_map is not None:
             hit = jnp.where(hit >= 0, self._slot_map[jnp.maximum(hit, 0)], -1)
@@ -632,7 +673,16 @@ class Simulator:
         they scale over chips like any other launch; round-2 verdict weak #8).
         """
         if self.device_mesh is None:
-            return self._extend(self.scene, orig, direction)
+            # the budgeted backend reports dropped clusters; a probe packet
+            # is a full-width slab of the room, often over the coherent-
+            # launch budget — dropping silently would mis-assign probes to
+            # wrong surfaces, so escalate-and-retry exactly like launches
+            while True:
+                r = self._extend(self.scene, orig, direction)
+                dropped = int(jnp.sum(r[2])) if len(r) > 2 else 0
+                if self.backend != "clustered" or dropped == 0:
+                    return r[0], r[1]
+                self._escalate_cluster_budget(dropped)
         from jax.sharding import PartitionSpec as P
 
         # cache the jitted shard_map per probe-batch shape (it lives in
@@ -660,11 +710,8 @@ class Simulator:
             self._sharded_cache[cache_key] = sharded
         t, hit, ov = sharded(self.scene, orig, direction)
         if self.backend == "clustered" and int(ov) > 0:
-            raise RuntimeError(
-                "dose_grid probe traversal dropped candidate clusters under "
-                "the per-packet budget; raise max_clusters or use "
-                "traversal='mxu'"
-            )
+            self._escalate_cluster_budget(int(ov))
+            return self._extend_probes(orig, direction)  # retry, new budget
         return t, hit
 
     def colors(self, view: ViewMode = ViewMode.DOSAGE, threshold_view: bool = False):
