@@ -348,6 +348,14 @@ def cmd_optimize_route(args):
     wp = np.array([[w.x, w.y] for w in r.waypoints], np.float32)
     durs = np.array([w.duration for w in r.waypoints], np.float32)
     lo, hi = mesh.aabb
+    # keep waypoints inside the room footprint (with a margin so the lamp
+    # does not sit in a wall); --no-bounds disables
+    bounds = None
+    if not args.no_bounds:
+        m = 0.1
+        bounds = ((float(lo[0]) + m, float(lo[2]) + m),
+                  (float(hi[0]) - m, float(hi[2]) - m))
+        wp = np.clip(wp, np.float32(bounds[0]) + 1e-3, np.float32(bounds[1]) - 1e-3)
     res = optimize_route(
         scene,
         wp,
@@ -358,6 +366,7 @@ def cmd_optimize_route(args):
         steps=args.steps,
         learning_rate=args.lr,
         n_samples=args.samples,
+        bounds=bounds,
         progress=lambda i, l: print(f"step {i}: loss {l:.4f}", file=sys.stderr),
     )
     out_route = Route(
@@ -500,6 +509,9 @@ def main(argv=None):
     po.add_argument("--steps", type=int, default=100)
     po.add_argument("--lr", type=float, default=0.05)
     po.add_argument("--samples", type=int, default=4)
+    po.add_argument("--no-bounds", action="store_true",
+                    help="allow waypoints outside the room footprint "
+                         "(default: box-constrained to the scene AABB)")
     po.add_argument("--output", default="route_optimized.xml")
     po.set_defaults(fn=cmd_optimize_route)
 
