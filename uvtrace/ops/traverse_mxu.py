@@ -49,7 +49,11 @@ BIG = np.float32(1e30)
 PACKET = 1024
 NFEAT = 16  # d(3), m=o x d(3), o(3), 1; padded to a sublane multiple
 K3 = 32  # bf16x3-packed contraction rows (29 used, padded to sublane x2)
-KBATCH = 16  # candidates extracted per vector->scalar crossing
+KBATCH = 8  # candidates extracted per vector->scalar crossing. Sweep
+#   (r4, fused direct, honest fencing): 8 -> 41.08, 16 -> 40.28, 32 -> 37.02
+#   Mrays/s (coherent packets average ~10 candidates, so 8 covers most in
+#   one batch with half the wasted extraction mins); bounce end-to-end is
+#   neutral (8.12 vs 8.08).
 
 
 class MxuScene(NamedTuple):
