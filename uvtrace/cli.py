@@ -297,6 +297,10 @@ def cmd_compute(args):
         sim.export_glb(out / "dose.glb", ViewMode.DOSAGE, args.threshold_view)
     if args.checkpoint:
         save_checkpoint(out / "checkpoint.npz", sim)
+    # the reference auto-saves route+parameters on shutdown and before every
+    # recompute (myapp.cpp:298, raytracer.cpp:126); the equivalent artifact
+    # records exactly what was computed
+    sim.save_route(out / "route_used.xml")
     if args.dose_grid:
         from uvtrace.io.export import export_grid_png
 
