@@ -312,3 +312,25 @@ def test_compute_resume_extends(tmp_path):
     out2 = run("--iterations", "2", "--output", str(tmp_path / "o2"),
                "--resume", str(tmp_path / "o1" / "checkpoint.npz"))
     assert out2["photons"] == 4096
+
+
+def test_info_texel_stats(capsys):
+    rc, out = run_cli(["info", SCENE, "--texel-density", "16"], capsys)
+    assert rc == 0
+    assert "texel atlas @ 16" in out and "slots" in out
+
+
+def test_compute_writes_route_used(tmp_path, capsys, tiny_glb):
+    """compute records the exact route+params it ran (the reference
+    auto-saves route.xml on shutdown/recompute, myapp.cpp:298)."""
+    from uvtrace.io.routexml import load_route_xml
+
+    rc, _ = run_cli(
+        ["compute", tiny_glb, "--photon-count", "2048", "--iterations", "1",
+         "--power", "333.0", "--no-render", "--output", str(tmp_path / "o")],
+        capsys,
+    )
+    assert rc == 0
+    r = load_route_xml(tmp_path / "o" / "route_used.xml")
+    assert abs(r.light_intensity - 333.0) < 1e-6
+    assert len(r.waypoints) == 1

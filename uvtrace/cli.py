@@ -169,6 +169,21 @@ def cmd_info(args):
     print(f"floor height: {mesh.floor_height:.4f} m")
     print(f"aabb: {lo.round(3).tolist()} .. {hi.round(3).tolist()}")
     print(f"surface area: {mesh.areas.sum():.2f} m^2")
+    if getattr(args, "texel_density", None):
+        import numpy as np
+
+        from uvtrace.ops.texel import build_atlas
+
+        kw = {}
+        if getattr(args, "texel_max_slots", None):
+            kw["max_slots"] = args.texel_max_slots
+        atlas = build_atlas(mesh.areas, density=args.texel_density, **kw)
+        k = np.asarray(atlas.k)
+        print(
+            f"texel atlas @ {args.texel_density}/m: {atlas.n_slots} slots "
+            f"(k min {k.min()} / median {int(np.median(k))} / max {k.max()}; "
+            f"{atlas.n_slots * 4 / 1e6:.1f} MB per accumulator)"
+        )
     return 0
 
 
@@ -469,6 +484,12 @@ def main(argv=None):
 
     pi = sub.add_parser("info", help="scene statistics")
     pi.add_argument("scene")
+    pi.add_argument("--texel-density", dest="texel_density", type=float,
+                    metavar="PER_M",
+                    help="also report the texel atlas this density would "
+                         "allocate (slots, per-tri grid sizes, memory)")
+    pi.add_argument("--texel-max-slots", dest="texel_max_slots", type=int,
+                    metavar="N")
     pi.set_defaults(fn=cmd_info)
 
     pc = sub.add_parser("compute", help="compute the dosage map")
