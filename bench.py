@@ -48,7 +48,7 @@ def _load_scene_mesh():
     scene_path = os.path.join(os.path.dirname(__file__), "assets", "testroomopt.glb")
     if os.path.exists(scene_path):
         return load_glb(scene_path)
-    return make_box_room(subdivisions=48, clutter=24)
+    return make_box_room(subdivisions=60, clutter=40)  # ~44k-tri stand-in
 
 
 def main():
