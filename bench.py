@@ -243,7 +243,17 @@ def scaling_rows(device_counts=None, rays_per_device=None, iters=3, scene_mesh=N
         )
     if rays_per_device is None:
         rays_per_device = (1 << 20) if jax.default_backend() == "tpu" else (1 << 13)
-    mesh = scene_mesh if scene_mesh is not None else _load_scene_mesh()
+    if scene_mesh is not None:
+        mesh = scene_mesh
+    elif jax.default_backend() == "cpu":
+        # smoke lane: the virtual-device mesh validates the sharded path,
+        # not absolute throughput — a small procedural room keeps it fast
+        # (the 45k-tri scene through the CPU clustered backend is minutes)
+        from uvtrace.geometry.procedural import make_box_room
+
+        mesh = make_box_room(subdivisions=8, clutter=4, seed=0)
+    else:
+        mesh = _load_scene_mesh()
 
     rows = []
     base_per_dev = None
