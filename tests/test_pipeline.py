@@ -239,3 +239,19 @@ def test_cluster_budget_loose_is_exact(room):
     sim2 = Simulator(room, params_jax, ray_chunk=1024)
     sim2.run_iteration()
     assert np.array_equal(np.asarray(sim.photon_map), np.asarray(sim2.photon_map))
+
+
+def test_mxu_backend_rejects_vmem_oversized_scene():
+    """The MXU kernel keeps all feature tiles VMEM-resident; past ~380k
+    triangles Mosaic OOMs with an opaque compile error — the Simulator must
+    fail fast with an actionable message instead (auto falls back)."""
+    import numpy as np
+    import pytest
+
+    from uvtrace.geometry.mesh import TriangleMesh
+
+    big = TriangleMesh(
+        tris=np.zeros((500_000, 3, 3), np.float32), name="oversized"
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        Simulator(big, dataclasses.replace(PARAMS, traversal="mxu"))

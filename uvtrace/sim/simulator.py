@@ -103,6 +103,35 @@ class Simulator:
             backend = "mxu-fused" if jax.default_backend() == "tpu" else "clustered"
         if bvh is not None:
             backend = "jax"
+        if backend in ("mxu", "mxu-fused"):
+            # the MXU kernel keeps ALL Plücker feature tiles VMEM-resident
+            # (~256 B per padded triangle at K3=32 bf16 rows x 4 quantities);
+            # past ~380k triangles that exceeds the ~96 MB VMEM budget and
+            # Mosaic fails with an opaque OOM at compile time — fail fast
+            # here instead (auto falls back; an explicit request errors).
+            # The named fix for larger scenes is HBM-resident tiles with a
+            # per-visit double-buffered DMA (PERF.md "scene-size scaling").
+            from uvtrace.ops.traverse_mxu import K3
+
+            est = (mesh.triangle_count + 1024) * 4 * K3 * 2
+            if est > (96 << 20):
+                msg = (
+                    f"scene has {mesh.triangle_count} triangles; the MXU "
+                    f"kernel would keep ~{est >> 20} MB of feature tiles "
+                    "resident in VMEM (budget ~96 MB)."
+                )
+                if params.traversal == "auto":
+                    import warnings
+
+                    warnings.warn(
+                        msg + " Falling back to traversal='clustered'.",
+                        RuntimeWarning,
+                    )
+                    backend = "clustered"
+                else:
+                    raise ValueError(
+                        msg + " Use traversal='clustered' (or 'jax')."
+                    )
         self.backend = backend
         self._slot_map = None
         self._extend_counts = None
