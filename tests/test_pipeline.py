@@ -241,17 +241,15 @@ def test_cluster_budget_loose_is_exact(room):
     assert np.array_equal(np.asarray(sim.photon_map), np.asarray(sim2.photon_map))
 
 
-def test_mxu_backend_rejects_vmem_oversized_scene():
-    """The MXU kernel keeps all feature tiles VMEM-resident; past ~380k
-    triangles Mosaic OOMs with an opaque compile error — the Simulator must
-    fail fast with an actionable message instead (auto falls back)."""
-    import numpy as np
-    import pytest
-
-    from uvtrace.geometry.mesh import TriangleMesh
-
-    big = TriangleMesh(
-        tris=np.zeros((500_000, 3, 3), np.float32), name="oversized"
-    )
-    with pytest.raises(ValueError, match="VMEM"):
-        Simulator(big, dataclasses.replace(PARAMS, traversal="mxu"))
+def test_mxu_backend_switches_to_hbm_tiles_for_big_scenes():
+    """Past ~380k triangles the VMEM-resident tile layout cannot compile;
+    the Simulator switches the MXU kernel to HBM-resident tiles with a
+    double-buffered per-visit DMA (bit-identical results, PERF.md r4)."""
+    big = make_box_room(subdivisions=190, clutter=40)  # > 392k padded tris
+    assert big.triangle_count > 392_000
+    sim = Simulator(big, dataclasses.replace(PARAMS, traversal="mxu"))
+    assert sim._hbm_tiles
+    assert sim._extend.keywords["hbm_tiles"] is True
+    small = make_box_room(subdivisions=4)
+    sim2 = Simulator(small, dataclasses.replace(PARAMS, traversal="mxu"))
+    assert not sim2._hbm_tiles

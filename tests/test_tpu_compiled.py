@@ -147,3 +147,23 @@ def test_simulator_on_tpu(mxu_scene):
     assert compiled_a.sum() == interp.sum()  # no ray lost or double-counted
     # winner reassignment between float-tied neighbors only: small L1 mass
     assert np.abs(compiled_a - interp).sum() / compiled_a.sum() < 0.05
+
+
+def test_hbm_tiles_compiled_matches_vmem(mxu_scene, rays):
+    """HBM-tile mode compiled on the chip == the VMEM-resident layout, bit
+    for bit (the prefetch chain must clamp pad candidate ids — an unclamped
+    id DMAs out of bounds and faults the chip, caught in r4)."""
+    from uvtrace.ops.traverse_mxu import fused_trace_counts, traverse_mxu_slots
+
+    _, scene = mxu_scene
+    _, r = rays
+    a = traverse_mxu_slots(scene, r.orig, r.dir, precision="high")
+    b = traverse_mxu_slots(scene, r.orig, r.dir, precision="high", hbm_tiles=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    lamp, _ = rays
+    ca = fused_trace_counts(scene, jax.random.PRNGKey(7), lamp, 1.0, 1 << 14)
+    cb = fused_trace_counts(
+        scene, jax.random.PRNGKey(7), lamp, 1.0, 1 << 14, hbm_tiles=True
+    )
+    np.testing.assert_array_equal(np.asarray(ca[2]), np.asarray(cb[2]))

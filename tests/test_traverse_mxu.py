@@ -94,3 +94,25 @@ def test_in_kernel_counts_match_segment(mxu_scene):
         ref = acc_ops.hit_counts(slot, n_bins, "segment")
         np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))
         assert int(np.asarray(counts).sum()) == int((np.asarray(slot) >= 0).sum())
+
+
+def test_hbm_tiles_mode_bit_identical(mxu_scene):
+    """HBM-resident tiles with per-visit double-buffered DMA (the big-scene
+    mode) == VMEM-resident tiles, bit for bit, for coherent and incoherent
+    rays and for the in-kernel histogram."""
+    from uvtrace.ops.traverse_mxu import traverse_mxu_counts
+
+    room, ms = mxu_scene
+    for rays in (
+        generate_stratified(jax.random.PRNGKey(0), 2048, (0.0, 0.2, 0.0), 1.0),
+        generate_native(jax.random.PRNGKey(9), 2048, (0.3, -0.2, 0.1), 0.5),
+    ):
+        a = traverse_mxu_slots(ms, rays.orig, rays.dir, interpret=True)
+        b = traverse_mxu_slots(
+            ms, rays.orig, rays.dir, interpret=True, hbm_tiles=True
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    a = traverse_mxu_counts(ms, rays.orig, rays.dir, interpret=True)
+    b = traverse_mxu_counts(ms, rays.orig, rays.dir, interpret=True, hbm_tiles=True)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))

@@ -176,15 +176,21 @@ def build_mxu_scene(cs: ClusteredScene, group: int = 1) -> MxuScene:
 
 
 def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
-            vlist, sems, *, precision, with_counts, group):
+            vlist, sems, tile_v, tsems, *, precision, with_counts, group, hbm_tiles):
     pb_vals = [pb[0, 0, k] for k in range(12)]
     _trace(pb_vals, boxes, rfeat[0], feat, t_out, slot_out, counts, ebuf_v,
            ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-           precision=precision, with_counts=with_counts, group=group)
+           precision=precision, with_counts=with_counts, group=group,
+           tile_v=tile_v, tsems=tsems, hbm_tiles=hbm_tiles)
 
 
 def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
-           vlist, sems, *, precision, with_counts, group=1):
+           vlist, sems, *, precision, with_counts, group=1,
+           tile_v=None, tsems=None, hbm_tiles=False):
+    # hbm_tiles: feature tiles live in HBM (scenes past the ~96 MB VMEM
+    # budget, >~380k tris); each visited tile is DMAed into one of two VMEM
+    # scratch slots, double-buffered so candidate j+1's fetch overlaps
+    # candidate j's matmul. Identical math and results either way.
     packet = rf.shape[-1]  # rays per packet (1024 default; sweepable)
     t_out[0] = jnp.full((1, packet), BIG)
     slot_out[0] = jnp.full((1, packet), -1, jnp.int32)
@@ -273,8 +279,8 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    def leaf(cid, t_ub):
-        fc = feat[cid]
+    def leaf(cid, t_ub, slot=None):
+        fc = tile_v[slot] if hbm_tiles else feat[cid]
         if precision == "high":
             # bf16x3 quality in ONE MXU pass: both operands arrive with the
             # three product terms packed as extra contraction rows
@@ -353,14 +359,47 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
                 j < KBATCH, ebuf_s[0, jnp.minimum(j, KBATCH - 1)] < t_ub
             )
 
+        def tile_copy(j, slot):
+            # CLAMP: pad candidates carry id = idx_mask (out of range). The
+            # VMEM path never touches them (leaf only runs for candidates
+            # that pass the entry < t_ub test), but the prefetch chain
+            # fetches j+1 before knowing whether it will be visited — an
+            # unclamped id DMAs out of bounds and faults the chip (observed).
+            cid = jnp.minimum(ibuf_s[0, j], jnp.int32(lg - 1))
+            return pltpu.make_async_copy(
+                feat.at[cid], tile_v.at[slot], tsems.at[slot]
+            )
+
+        if hbm_tiles:
+            tile_copy(jnp.int32(0), 0).start()  # prefetch first candidate
+
         def visit(c):
             j, t_ub = c
             cid = ibuf_s[0, j]
             if with_counts:
                 vlist[vbase + j] = cid
-            return j + 1, leaf(cid, t_ub)
+            if not hbm_tiles:
+                return j + 1, leaf(cid, t_ub)
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < KBATCH)
+            def _():
+                # fetch candidate j+1 under candidate j's matmul
+                tile_copy(j + 1, 1 - slot).start()
+
+            tile_copy(j, slot).wait()
+            return j + 1, leaf(cid, t_ub, slot=slot)
 
         j, t_ub = jax.lax.while_loop(visit_cond, visit, (jnp.int32(0), t_ub))
+        if hbm_tiles:
+            # drain the outstanding prefetch: tile j was started (by the
+            # initial prefetch when j==0, else by iteration j-1) whenever
+            # the loop exited before consuming the whole batch — an
+            # un-waited DMA would leave its semaphore pending and corrupt
+            # the next batch's double-buffering
+            @pl.when(j < KBATCH)
+            def _():
+                tile_copy(j, jax.lax.rem(j, 2)).wait()
         # all KBATCH consumed and the farthest still mattered => maybe more.
         # i32 carry, not bool: a bool while-carry miscompiled here (Mosaic
         # produced all-miss results for the all-axes-span frustum case).
@@ -391,9 +430,9 @@ def _trace(pb_vals, boxes, rf, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, eb
         jax.lax.fori_loop(0, vtotal, hist, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts", "group"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "with_counts", "group", "hbm_tiles"))
 def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="highest",
-                         with_counts=False, group=1):
+                         with_counts=False, group=1, hbm_tiles=False):
     """o3/d3: f32[G, P, 3] packet-major rays (P = rays/packet, default 1024)."""
     packet = o3.shape[1]
     prec = {
@@ -430,13 +469,18 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
     ).reshape(g_total, 1, 16)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, precision=prec, with_counts=with_counts, group=group),
+        functools.partial(_kernel, precision=prec, with_counts=with_counts,
+                          group=group, hbm_tiles=hbm_tiles),
         grid=(g_total,),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
             pl.BlockSpec((1, krows, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # feat tiles, fully resident
+            # feat tiles: VMEM-resident by default; HBM with per-visit DMA
+            # for scenes past the VMEM budget (hbm_tiles)
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if hbm_tiles else pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -456,6 +500,9 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
             pltpu.SMEM((1, 128), jnp.float32),
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            # double-buffered HBM tile slots (used only in hbm_tiles mode)
+            pltpu.VMEM((2,) + feat_op.shape[1:], feat_op.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -500,6 +547,7 @@ def traverse_mxu_counts(
     precision: str = "highest",
     group: int = 1,
     packet: int = PACKET,
+    hbm_tiles: bool = False,
     **_,
 ):
     """Like traverse_mxu_slots but ALSO returns int32[L*C] per-slot hit
@@ -518,7 +566,7 @@ def traverse_mxu_counts(
     d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
         scene, o3, d3, interpret=interpret, precision=precision, with_counts=True,
-        group=group,
+        group=group, hbm_tiles=hbm_tiles,
     )
 
 
@@ -531,6 +579,7 @@ def traverse_mxu_slots(
     precision: str = "highest",
     group: int = 1,
     packet: int = PACKET,
+    hbm_tiles: bool = False,
     **_,
 ):
     """Like traverse_mxu but returns PADDED CLUSTER SLOTS (cid*C + lane)
@@ -558,7 +607,8 @@ def traverse_mxu_slots(
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
-        scene, o3, d3, interpret=interpret, precision=precision, group=group
+        scene, o3, d3, interpret=interpret, precision=precision, group=group,
+        hbm_tiles=hbm_tiles,
     )
 
 
@@ -571,7 +621,8 @@ TWO_PI = np.float32(2.0 * np.pi)
 
 def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out,
                   rf_scr, ebuf_v, ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-                  *, precision, grid_dims, with_rays, group=1):
+                  tile_v, tsems,
+                  *, precision, grid_dims, with_rays, group=1, hbm_tiles=False):
     """Generate one stratified 1024-ray packet in-kernel (pltpu PRNG), build
     its Plücker features in VMEM scratch, derive the packet frustum bounds
     ANALYTICALLY from the stratum cell (no vector->scalar reductions), then
@@ -719,12 +770,13 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
 
     _trace(pb_vals, boxes, rf_scr[:, :], feat, t_out, slot_out, counts, ebuf_v,
            ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-           precision=precision, with_counts=True, group=group)
+           precision=precision, with_counts=True, group=group,
+           tile_v=tile_v, tsems=tsems, hbm_tiles=hbm_tiles)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "height_bands", "interpret", "precision", "with_rays", "group"),
+    static_argnames=("n", "height_bands", "interpret", "precision", "with_rays", "group", "hbm_tiles"),
 )
 def fused_trace_counts(
     scene: MxuScene,
@@ -738,6 +790,7 @@ def fused_trace_counts(
     interpret: bool = False,
     with_rays: bool = False,
     group: int = 1,
+    hbm_tiles: bool = False,
     **_,
 ):
     """Fused generate->extend->histogram: one kernel launch per chunk; the
@@ -771,7 +824,7 @@ def fused_trace_counts(
     if with_rays:
         kernel = functools.partial(
             _fused_kernel, precision=prec, grid_dims=grid_dims, with_rays=True,
-            group=group,
+            group=group, hbm_tiles=hbm_tiles,
         )
         ray_specs = [
             pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -786,7 +839,7 @@ def fused_trace_counts(
             _fused_kernel(
                 gpi, gpf, boxes, feat, t_out, slot_out, counts, None, None,
                 *scratch, precision=prec, grid_dims=grid_dims, with_rays=False,
-                group=group,
+                group=group, hbm_tiles=hbm_tiles,
             )
 
         ray_specs, ray_shapes = [], []
@@ -797,7 +850,7 @@ def fused_trace_counts(
             pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # feat
+            pl.BlockSpec(memory_space=pltpu.ANY if hbm_tiles else pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -822,6 +875,11 @@ def fused_trace_counts(
             pltpu.SMEM((1, 128), jnp.float32),
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(
+                (2,) + (scene.feat3 if precision == "high" else scene.feat).shape[1:],
+                (scene.feat3 if precision == "high" else scene.feat).dtype,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -103,35 +103,20 @@ class Simulator:
             backend = "mxu-fused" if jax.default_backend() == "tpu" else "clustered"
         if bvh is not None:
             backend = "jax"
+        self._hbm_tiles = False
         if backend in ("mxu", "mxu-fused"):
-            # the MXU kernel keeps ALL Plücker feature tiles VMEM-resident
-            # (~256 B per padded triangle at K3=32 bf16 rows x 4 quantities);
-            # past ~380k triangles that exceeds the ~96 MB VMEM budget and
-            # Mosaic fails with an opaque OOM at compile time — fail fast
-            # here instead (auto falls back; an explicit request errors).
-            # The named fix for larger scenes is HBM-resident tiles with a
-            # per-visit double-buffered DMA (PERF.md "scene-size scaling").
+            # By default the MXU kernel keeps ALL Plücker feature tiles
+            # VMEM-resident (~256 B per padded triangle); past ~380k
+            # triangles that exceeds the ~96 MB VMEM budget and Mosaic OOMs
+            # opaquely at compile time. Big scenes switch to HBM-resident
+            # tiles with a double-buffered per-visit DMA (hbm_tiles) —
+            # measured 0.5% slower on the 45k testroom (the DMA hides under
+            # the leaf matmul) and 9.1 Mrays/s at 443k tris where the VMEM
+            # layout cannot compile at all (PERF.md "scene-size scaling").
             from uvtrace.ops.traverse_mxu import K3
 
             est = (mesh.triangle_count + 1024) * 4 * K3 * 2
-            if est > (96 << 20):
-                msg = (
-                    f"scene has {mesh.triangle_count} triangles; the MXU "
-                    f"kernel would keep ~{est >> 20} MB of feature tiles "
-                    "resident in VMEM (budget ~96 MB)."
-                )
-                if params.traversal == "auto":
-                    import warnings
-
-                    warnings.warn(
-                        msg + " Falling back to traversal='clustered'.",
-                        RuntimeWarning,
-                    )
-                    backend = "clustered"
-                else:
-                    raise ValueError(
-                        msg + " Use traversal='clustered' (or 'jax')."
-                    )
+            self._hbm_tiles = est > (96 << 20)
         self.backend = backend
         self._slot_map = None
         self._extend_counts = None
@@ -185,10 +170,12 @@ class Simulator:
                 # pallas interpret mode — same code path, exact semantics
                 interp = jax.default_backend() != "tpu"
                 self._extend = functools.partial(
-                    traverse_mxu_slots, precision=params.precision, interpret=interp
+                    traverse_mxu_slots, precision=params.precision,
+                    interpret=interp, hbm_tiles=self._hbm_tiles,
                 )
                 self._extend_counts = functools.partial(
-                    traverse_mxu_counts, precision=params.precision, interpret=interp
+                    traverse_mxu_counts, precision=params.precision,
+                    interpret=interp, hbm_tiles=self._hbm_tiles,
                 )
                 # bounce segments (incoherent rays) run the packet kernel at
                 # 4096-ray packets: candidates/packet grow sublinearly with
@@ -198,6 +185,7 @@ class Simulator:
                 self._extend_bounce = functools.partial(
                     traverse_mxu_slots, packet=4096,
                     precision=params.precision, interpret=interp,
+                    hbm_tiles=self._hbm_tiles,
                 )
                 if backend == "mxu-fused":
                     # generate+trace+histogram in ONE kernel (the stratified
@@ -209,6 +197,7 @@ class Simulator:
                         fused_trace_counts,
                         precision=params.precision,
                         interpret=interp,
+                        hbm_tiles=self._hbm_tiles,
                     )
                 self._slot_map = self.scene.tri_idx_flat
                 # the kernel consumes whole 1024-ray packets
