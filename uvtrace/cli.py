@@ -169,6 +169,8 @@ def cmd_info(args):
     print(f"floor height: {mesh.floor_height:.4f} m")
     print(f"aabb: {lo.round(3).tolist()} .. {hi.round(3).tolist()}")
     print(f"surface area: {mesh.areas.sum():.2f} m^2")
+    if getattr(args, "texel_max_slots", None) and not getattr(args, "texel_density", None):
+        raise CLIError("--texel-max-slots requires --texel-density")
     if getattr(args, "texel_density", None):
         import numpy as np
 

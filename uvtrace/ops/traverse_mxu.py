@@ -176,7 +176,7 @@ def build_mxu_scene(cs: ClusteredScene, group: int = 1) -> MxuScene:
 
 
 def _kernel(pb, boxes, rfeat, feat, t_out, slot_out, counts, ebuf_v, ibuf_v, ebuf_s, ibuf_s,
-            vlist, sems, tile_v, tsems, *, precision, with_counts, group, hbm_tiles):
+            vlist, sems, tile_v=None, tsems=None, *, precision, with_counts, group, hbm_tiles):
     pb_vals = [pb[0, 0, k] for k in range(12)]
     _trace(pb_vals, boxes, rfeat[0], feat, t_out, slot_out, counts, ebuf_v,
            ibuf_v, ebuf_s, ibuf_s, vlist, sems,
@@ -479,7 +479,7 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
             # feat tiles: VMEM-resident by default; HBM with per-visit DMA
             # for scenes past the VMEM budget (hbm_tiles)
             pl.BlockSpec(
-                memory_space=pltpu.ANY if hbm_tiles else pltpu.VMEM
+                memory_space=pl.ANY if hbm_tiles else pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -501,10 +501,18 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            # double-buffered HBM tile slots (used only in hbm_tiles mode)
-            pltpu.VMEM((2,) + feat_op.shape[1:], feat_op.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + (
+            # double-buffered HBM tile slots, only allocated in hbm mode
+            # (the default VMEM-resident layout needs every byte of VMEM
+            # headroom for the feat tiles themselves)
+            [
+                pltpu.VMEM((2,) + feat_op.shape[1:], feat_op.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if hbm_tiles
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -520,7 +528,8 @@ def _traverse_mxu_padded(scene: MxuScene, o3, d3, interpret=False, precision="hi
 
 
 def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
-                 precision: str = "highest", group: int = 1, **_):
+                 precision: str = "highest", group: int = 1,
+                 hbm_tiles: bool = False, **_):
     """Closest-hit via the MXU cluster-intersection kernel (works for ANY
     rays, coherent or not — incoherent packets degrade to visiting more
     clusters, never to wrong results).
@@ -533,7 +542,8 @@ def traverse_mxu(scene: MxuScene, orig, direction, *, interpret: bool = False,
     `traverse_mxu_slots` and remap at the bin level (slots_to_tri).
     """
     t, slot = traverse_mxu_slots(scene, orig, direction, interpret=interpret,
-                                 precision=precision, group=group)
+                                 precision=precision, group=group,
+                                 hbm_tiles=hbm_tiles)
     hit = jnp.where(slot >= 0, scene.tri_idx_flat[jnp.maximum(slot, 0)], jnp.int32(-1))
     return t, hit
 
@@ -621,7 +631,7 @@ TWO_PI = np.float32(2.0 * np.pi)
 
 def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out,
                   rf_scr, ebuf_v, ibuf_v, ebuf_s, ibuf_s, vlist, sems,
-                  tile_v, tsems,
+                  tile_v=None, tsems=None,
                   *, precision, grid_dims, with_rays, group=1, hbm_tiles=False):
     """Generate one stratified 1024-ray packet in-kernel (pltpu PRNG), build
     its Plücker features in VMEM scratch, derive the packet frustum bounds
@@ -850,7 +860,7 @@ def fused_trace_counts(
             pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
-            pl.BlockSpec(memory_space=pltpu.ANY if hbm_tiles else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if hbm_tiles else pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -876,12 +886,18 @@ def fused_trace_counts(
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((vmax,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM(
-                (2,) + (scene.feat3 if precision == "high" else scene.feat).shape[1:],
-                (scene.feat3 if precision == "high" else scene.feat).dtype,
-            ),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM(
+                    (2,) + (scene.feat3 if precision == "high" else scene.feat).shape[1:],
+                    (scene.feat3 if precision == "high" else scene.feat).dtype,
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if hbm_tiles
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

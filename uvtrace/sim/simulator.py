@@ -104,19 +104,6 @@ class Simulator:
         if bvh is not None:
             backend = "jax"
         self._hbm_tiles = False
-        if backend in ("mxu", "mxu-fused"):
-            # By default the MXU kernel keeps ALL Plücker feature tiles
-            # VMEM-resident (~256 B per padded triangle); past ~380k
-            # triangles that exceeds the ~96 MB VMEM budget and Mosaic OOMs
-            # opaquely at compile time. Big scenes switch to HBM-resident
-            # tiles with a double-buffered per-visit DMA (hbm_tiles) —
-            # measured 0.5% slower on the 45k testroom (the DMA hides under
-            # the leaf matmul) and 9.1 Mrays/s at 443k tris where the VMEM
-            # layout cannot compile at all (PERF.md "scene-size scaling").
-            from uvtrace.ops.traverse_mxu import K3
-
-            est = (mesh.triangle_count + 1024) * 4 * K3 * 2
-            self._hbm_tiles = est > (96 << 20)
         self.backend = backend
         self._slot_map = None
         self._extend_counts = None
@@ -159,12 +146,25 @@ class Simulator:
                 self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
             if backend in ("mxu", "mxu-fused"):
                 from uvtrace.ops.traverse_mxu import (
+                    K3,
                     build_mxu_scene,
                     fused_trace_counts,
                     traverse_mxu_counts,
                     traverse_mxu_slots,
                 )
 
+                # By default the MXU kernel keeps ALL Plücker feature tiles
+                # VMEM-resident; past the ~96 MB VMEM budget Mosaic OOMs
+                # opaquely at compile time. Big scenes switch to
+                # HBM-resident tiles with a double-buffered per-visit DMA
+                # (hbm_tiles) — measured 0.5% slower on the 45k testroom
+                # (the DMA hides under the leaf matmul) and 9.1 Mrays/s at
+                # 443k tris where the VMEM layout cannot compile at all.
+                # The footprint scales with PADDED SLOTS (clusters x C —
+                # measured cluster fill is ~0.7, i.e. ~1.4x the raw
+                # triangle count), so decide AFTER clustering.
+                padded = self.clusters.n_clusters * cluster_size
+                self._hbm_tiles = padded * 4 * K3 * 2 > (96 << 20)
                 self.scene = build_mxu_scene(self.clusters)
                 # off-TPU (tests, CPU device meshes) the kernel runs in
                 # pallas interpret mode — same code path, exact semantics
