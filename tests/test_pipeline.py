@@ -242,7 +242,7 @@ def test_cluster_budget_loose_is_exact(room):
 
 
 def test_mxu_backend_switches_to_hbm_tiles_for_big_scenes():
-    """Past ~380k triangles the VMEM-resident tile layout cannot compile;
+    """Past ~392k padded slots the VMEM-resident tile layout cannot compile;
     the Simulator switches the MXU kernel to HBM-resident tiles with a
     double-buffered per-visit DMA (bit-identical results, PERF.md r4)."""
     big = make_box_room(subdivisions=190, clutter=40)  # > 392k padded tris
