@@ -376,7 +376,18 @@ def cmd_optimize_route(args):
         m = 0.1
         bounds = ((float(lo[0]) + m, float(lo[2]) + m),
                   (float(hi[0]) - m, float(hi[2]) - m))
+        wp0 = wp
         wp = np.clip(wp, np.float32(bounds[0]) + 1e-3, np.float32(bounds[1]) - 1e-3)
+        moved = np.where(np.abs(wp - wp0).max(axis=1) > 1e-6)[0]
+        if moved.size:
+            # a route with waypoints intentionally outside the scanned AABB
+            # (doorway, alcove) must not be moved silently
+            print(
+                f"uvtrace: note: clipped waypoint(s) "
+                f"{', '.join(str(i) for i in moved)} into the scene footprint "
+                f"(use --no-bounds to optimize outside the AABB)",
+                file=sys.stderr,
+            )
     res = optimize_route(
         scene,
         wp,

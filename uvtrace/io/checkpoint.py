@@ -135,6 +135,28 @@ def load_checkpoint(path, sim) -> None:
     sim.photon_map_size = int(data["photon_map_size"])
     if "launch_n" in data and int(data["launch_n"]) > 0:
         sim._launch_n = int(data["launch_n"])
+    elif int(data["photon_map_size"]) > 0:
+        # pre-format checkpoint (no launch_n field): MAX_POWER normalization
+        # falls back to photons_per_light, which UNDERSTATES the launch when
+        # the stratified sampler rounded it up to whole chunks — i.e.
+        # `render --view maxpower` from an old checkpoint overstates
+        # irradiance by the rounding ratio. Recompute the actual per-launch
+        # size from the totals instead (photon_map_size counts the rounded
+        # launches: iterations x route length of them).
+        import warnings
+
+        launches = int(data["curr_iterations"]) * max(1, len(data["route"]))
+        if launches > 0 and int(data["photon_map_size"]) % launches == 0:
+            sim._launch_n = int(data["photon_map_size"]) // launches
+        else:
+            warnings.warn(
+                "checkpoint predates the launch_n field and its totals do "
+                "not divide evenly; MAX_POWER normalization falls back to "
+                "photons_per_light and may overstate irradiance by the "
+                "stratified rounding ratio",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sim.curr_iterations = int(data["curr_iterations"])
     sim.global_seed = np.uint32(data["global_seed"])
     sim.key = jnp.asarray(data["key"])

@@ -642,6 +642,7 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
     grid_dims: static (gh, gy, gphi) — must match ops/generate._stratum_grid.
     """
     gh, gy, gphi = grid_dims
+    packet = rf_scr.shape[-1]  # rays per packet (sweepable, default 1024)
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -649,15 +650,15 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
         if precision == "high":
             # bf16x3-packed layout: constant 1-rows at 9 (r_hi) and 28
             # (paired with f_lo of the n.v0 row); zero padding rows 29..31
-            one = jnp.ones((1, PACKET), jnp.bfloat16)
+            one = jnp.ones((1, packet), jnp.bfloat16)
             rf_scr[9:10, :] = one
             rf_scr[28:29, :] = one
-            rf_scr[29:K3, :] = jnp.zeros((K3 - 29, PACKET), jnp.bfloat16)
+            rf_scr[29:K3, :] = jnp.zeros((K3 - 29, packet), jnp.bfloat16)
         else:
             # constant feature rows: 1-row (index 9) and the K padding
             rf_scr[9:NFEAT, :] = jnp.concatenate(
-                [jnp.ones((1, PACKET), jnp.float32),
-                 jnp.zeros((NFEAT - 10, PACKET), jnp.float32)], axis=0
+                [jnp.ones((1, packet), jnp.float32),
+                 jnp.zeros((NFEAT - 10, packet), jnp.float32)], axis=0
             )
 
     ih = pid // (gy * gphi)
@@ -678,9 +679,9 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
         return x
 
     ctr = (
-        jax.lax.broadcasted_iota(jnp.int32, (3, PACKET), 0) * PACKET
-        + jax.lax.broadcasted_iota(jnp.int32, (3, PACKET), 1)
-        + pid * (3 * PACKET)
+        jax.lax.broadcasted_iota(jnp.int32, (3, packet), 0) * packet
+        + jax.lax.broadcasted_iota(jnp.int32, (3, packet), 1)
+        + pid * (3 * packet)
     )
     h = wang(wang(ctr ^ gpi[0, 0, 0]) ^ gpi[0, 0, 1])
     u = jax.lax.shift_right_logical(h, 8).astype(jnp.float32) * np.float32(
@@ -732,8 +733,8 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
     dx = r * jnp.clip(jnp.cos(phi), c_lo, c_hi)
     dz = r * jnp.clip(jnp.sin(phi), s_lo, s_hi)
     oy = ly + (ihf + uh) / np.float32(gh) * llen
-    ox = jnp.full((1, PACKET), lx) + 0.0 * oy
-    oz = jnp.full((1, PACKET), lz) + 0.0 * oy
+    ox = jnp.full((1, packet), lx) + 0.0 * oy
+    oz = jnp.full((1, packet), lz) + 0.0 * oy
 
     rows = (
         dx, dy, dz,
@@ -786,7 +787,7 @@ def _fused_kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, ro_out, rd_out
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "height_bands", "interpret", "precision", "with_rays", "group", "hbm_tiles"),
+    static_argnames=("n", "height_bands", "interpret", "precision", "with_rays", "group", "hbm_tiles", "packet"),
 )
 def fused_trace_counts(
     scene: MxuScene,
@@ -801,6 +802,7 @@ def fused_trace_counts(
     with_rays: bool = False,
     group: int = 1,
     hbm_tiles: bool = False,
+    packet: int = PACKET,
     **_,
 ):
     """Fused generate->extend->histogram: one kernel launch per chunk; the
@@ -808,12 +810,20 @@ def fused_trace_counts(
     HBM. Statistically identical to generate_stratified + traverse_mxu_counts
     (same stratum grid; different RNG streams).
 
+    packet: rays per packet / stratum cell (matches the split kernel's
+    sweepable parameter; 1024 measured optimal for coherent packets,
+    PERF.md round-4 sweep — parameterized so future sweeps can cover the
+    production fused path too).
+
     Returns (t, slot, counts_slots[, orig, dir if with_rays]).
     """
     from uvtrace.ops.generate import _stratum_grid
 
-    assert n % PACKET == 0, (n, PACKET)
-    g_total = n // PACKET
+    packet = min(packet, n)  # small launches fall back to one whole packet
+    while n % packet and packet > PACKET:
+        packet //= 2
+    assert n % packet == 0, (n, packet)
+    g_total = n // packet
     grid_dims = _stratum_grid(g_total, height_bands=height_bands)
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
@@ -837,12 +847,12 @@ def fused_trace_counts(
             group=group, hbm_tiles=hbm_tiles,
         )
         ray_specs = [
-            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         ray_shapes = [
-            jax.ShapeDtypeStruct((g_total, 3, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, 3, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 3, packet), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 3, packet), jnp.float32),
         ]
     else:
         def kernel(gpi, gpf, boxes, feat, t_out, slot_out, counts, *scratch):
@@ -863,21 +873,21 @@ def fused_trace_counts(
             pl.BlockSpec(memory_space=pl.ANY if hbm_tiles else pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l_count, c_sz), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         + ray_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, 1, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((g_total, 1, packet), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, 1, packet), jnp.int32),
             jax.ShapeDtypeStruct((l_count, c_sz), jnp.int32),
         ]
         + ray_shapes,
         scratch_shapes=[
-            pltpu.VMEM((K3, PACKET), jnp.bfloat16)
+            pltpu.VMEM((K3, packet), jnp.bfloat16)
             if precision == "high"
-            else pltpu.VMEM((NFEAT, PACKET), jnp.float32),
+            else pltpu.VMEM((NFEAT, packet), jnp.float32),
             # one 128-lane buffer row (DMA slices along the lane dim must
             # be tile-aligned on TPU; only lanes < KBATCH are used)
             pltpu.VMEM((1, 128), jnp.float32),
@@ -904,10 +914,10 @@ def fused_trace_counts(
         interpret=interpret,
     )(gpi, gpf, scene.boxes, scene.feat3 if precision == "high" else scene.feat)
     t, slot, counts = out[0], out[1], out[2]
-    t = t.reshape(g_total * PACKET)
-    slot = jnp.where(t >= BIG, -1, slot.reshape(g_total * PACKET))
+    t = t.reshape(g_total * packet)
+    slot = jnp.where(t >= BIG, -1, slot.reshape(g_total * packet))
     if with_rays:
-        orig = out[3].swapaxes(1, 2).reshape(g_total * PACKET, 3)
-        direction = out[4].swapaxes(1, 2).reshape(g_total * PACKET, 3)
+        orig = out[3].swapaxes(1, 2).reshape(g_total * packet, 3)
+        direction = out[4].swapaxes(1, 2).reshape(g_total * packet, 3)
         return t, slot, counts.reshape(-1), orig, direction
     return t, slot, counts.reshape(-1)

@@ -587,8 +587,15 @@ class Simulator:
         Möller–Trumbore accepts both faces, so in a room with a roof the
         first hit IS the ceiling; probes whose hit lies within
         `ceiling_margin` of the scene top are re-cast from just below their
-        hit point so the grid shows what a floor plan shows. Set False for
-        the raw first-hit image.
+        hit point so the grid shows what a floor plan shows. CAVEAT: the
+        classification is a pure height band — any legitimate surface whose
+        top reaches within `ceiling_margin` (default 5 cm) of the scene's
+        max-y (e.g. a wardrobe touching the roof) is also re-cast past, and
+        the image shows what lies below it instead. Shrink `ceiling_margin`
+        or set skip_ceiling=False for the raw first-hit image in such
+        scenes. (A normal-based classifier cannot disambiguate here: glTF
+        scan meshes carry arbitrary winding, and a ceiling's geometric
+        normal is as often up as down.)
 
         When a texel atlas exists each probe samples its TEXEL's dose
         (barycentrics -> atlas slot), not the triangle average — a 4K grid
