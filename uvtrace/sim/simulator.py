@@ -761,6 +761,45 @@ class Simulator:
 
     # ------------------------------------------------------------ calibrate
 
+    def _make_calibration_sim(
+        self, measure_height: float, measure_dist: float, budget: int
+    ) -> "Simulator":
+        """The synthetic calibration setup the reference swaps in
+        (raytracer.cpp:156-190): a 0.2x0.2 m 2-triangle square at the
+        measured height/distance, lamp at the origin, real room's floor
+        height. Shared by calibrate_power and the estimator-equivalence
+        test (tests/test_calibration.py)."""
+        import dataclasses
+
+        from uvtrace.geometry.procedural import make_single_square
+
+        square = make_single_square(
+            center=(0.0, self.mesh.floor_height + measure_height, measure_dist),
+            half_width=0.1,
+            axis="z",
+        )
+        # the square needs no texel atlas; a 2-D (rays x texels) session mesh
+        # flattens to a 1-D ray mesh so every chip still participates
+        cal_mesh = self.device_mesh
+        if cal_mesh is not None and self._tex_shards > 1:
+            from jax.sharding import Mesh
+
+            cal_mesh = Mesh(
+                np.asarray(self.device_mesh.devices).reshape(-1), ("rays",)
+            )
+        cal = Simulator(
+            square,
+            dataclasses.replace(self.params, photon_count=budget, texel_density=0.0),
+            route=[LightPos(0.0, 0.0, 1.0)],
+            ray_chunk=self.ray_chunk,
+            device_mesh=cal_mesh,
+        )
+        # floor height of the synthetic square is 0 by construction; the lamp
+        # must sit at the *real* room's floor + light_height like the
+        # reference (it keeps mesh->floorHeight, raytracer.cpp:77)
+        cal.mesh.floor_height = self.mesh.floor_height
+        return cal
+
     def calibrate_power(
         self,
         measure_power: float,
@@ -780,42 +819,20 @@ class Simulator:
         The reference burns maxIterations x photonCount photons (335M at
         defaults) into 2 triangles and reads the max-over-launches irradiance
         (raytracer.cpp:191-209). Here the estimator is the unbiased cumulative
-        mean (identical in the large-count limit the reference operates in),
-        launches run in reduced-size batches until the relative standard error
-        of the per-launch means drops below `rel_stderr` (default 0.5%), and a
+        mean; the two differ only by the max-of-iid-means sampling bias
+        (~1.54*sigma over 10 launches — about 1% high at the reference's own
+        budget, shrinking as 1/sqrt(photons); the bias direction is
+        conservative: calibrated power low => doses understated). Pinned
+        quantitatively in tests/test_calibration.py. Launches run in
+        reduced-size batches until the relative standard error of the
+        per-launch means drops below `rel_stderr` (default 0.5%), and a
         sharded session calibrates over its device mesh's ray axis instead of
         silently single-device.
         """
         import dataclasses
 
-        from uvtrace.geometry.procedural import make_single_square
-
-        square = make_single_square(
-            center=(0.0, self.mesh.floor_height + measure_height, measure_dist),
-            half_width=0.1,
-            axis="z",
-        )
-        # the square needs no texel atlas; a 2-D (rays x texels) session mesh
-        # flattens to a 1-D ray mesh so every chip still participates
-        cal_mesh = self.device_mesh
-        if cal_mesh is not None and self._tex_shards > 1:
-            from jax.sharding import Mesh
-
-            cal_mesh = Mesh(
-                np.asarray(self.device_mesh.devices).reshape(-1), ("rays",)
-            )
         budget = min(self.params.photon_count, 1 << 20)
-        cal = Simulator(
-            square,
-            dataclasses.replace(self.params, photon_count=budget, texel_density=0.0),
-            route=[LightPos(0.0, 0.0, 1.0)],
-            ray_chunk=self.ray_chunk,
-            device_mesh=cal_mesh,
-        )
-        # floor height of the synthetic square is 0 by construction; the lamp
-        # must sit at the *real* room's floor + light_height like the
-        # reference (it keeps mesh->floorHeight, raytracer.cpp:77)
-        cal.mesh.floor_height = self.mesh.floor_height
+        cal = self._make_calibration_sim(measure_height, measure_dist, budget)
         # cap at the reference's total budget; stop early once converged
         max_launches = max(
             1,
