@@ -211,6 +211,33 @@ def test_render_from_checkpoint_tiny(tiny_glb, tmp_path, capsys):
     assert (tmp_path / "r.png").stat().st_size > 100
 
 
+def test_optimize_route_with_reflectance(tiny_glb, tmp_path, capsys):
+    """optimize-route --reflectance reaches the bounce gradient term
+    end-to-end (round-4 verdict #3: the flag used to be parsed and then
+    dropped); the clip notice fires for an out-of-AABB waypoint."""
+    from uvtrace.io.routexml import LightPos, Route, load_route_xml, save_route_xml
+
+    route = tmp_path / "route.xml"
+    save_route_xml(
+        route,
+        Route(waypoints=[LightPos(0.5, 0.5, 30.0), LightPos(99.0, 0.0, 30.0)]),
+    )
+    out = tmp_path / "opt.xml"
+    rc = main(
+        ["optimize-route", tiny_glb, "--route", str(route),
+         "--reflectance", "0.4", "--bounces", "2",
+         "--steps", "2", "--samples", "1", "--sources", "8",
+         "--output", str(out)]
+    )
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "clipped waypoint(s) 1" in cap.err  # waypoint 99.0 moved
+    res = json.loads(cap.out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_min_dose"])
+    opt = load_route_xml(str(out))
+    assert len(opt.waypoints) == 2
+
+
 class TestFailFast:
     """CLI error translation: every bad input produces ONE actionable line on
     stderr and a nonzero exit — the reference's FatalError/CheckCL behavior

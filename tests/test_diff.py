@@ -205,6 +205,136 @@ class TestOneBounce:
         )
 
 
+class TestMultiBounce:
+    """Multi-bounce differentiable interreflection (round-4 verdict #1:
+    the gradient model must match the forward model's transport depth)."""
+
+    def _eb(self, scene, room, rho, n_bounces, key=0, **kw):
+        from uvtrace.diff import bounce_irradiance
+
+        kw.setdefault("n_samples", 2)
+        kw.setdefault("n_sources", 24)
+        return bounce_irradiance(
+            scene, jnp.array([0.0, 0.0]), room.floor_height + 0.8, 1.0,
+            450.0, rho, jnp.asarray(room.areas), jax.random.PRNGKey(key),
+            n_bounces=n_bounces, **kw
+        )
+
+    def test_terms_positive_monotone_and_decaying(self, room_scene):
+        """Adding bounce levels only adds energy; successive Neumann terms
+        shrink by at least ~rho (physical contraction of the transfer
+        operator in a closed room)."""
+        room, scene = room_scene
+        t = room.triangle_count
+        rho = jnp.full((t,), 0.5)
+        e1 = np.asarray(self._eb(scene, room, rho, 1))
+        e2 = np.asarray(self._eb(scene, room, rho, 2))
+        e3 = np.asarray(self._eb(scene, room, rho, 3))
+        assert np.isfinite(e3).all()
+        assert (e2 >= e1 - 1e-6).all() and (e3 >= e2 - 1e-6).all()
+        term2, term3 = (e2 - e1).sum(), (e3 - e2).sum()
+        assert 0 < term2 < e1.sum()  # second bounce is a correction
+        assert 0 < term3 < term2  # and the series contracts
+
+    def test_chunked_receiver_pass_matches_unchunked(self, room_scene):
+        """ADVICE r4: the source loop is chunked (lax.map) so peak memory is
+        bounded; chunking must not change the estimate (same RNG)."""
+        room, scene = room_scene
+        rho = jnp.full((room.triangle_count,), 0.4)
+        a = self._eb(scene, room, rho, 2, source_chunk=4)
+        b = self._eb(scene, room, rho, 2, source_chunk=64)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+    def test_reflectance_gradient_matches_fd_two_bounce(self, room_scene):
+        """With 2 bounces the estimator is QUADRATIC in reflectance; AD
+        gradients must match central FD (exact for quadratics, CRN)."""
+        room, scene = room_scene
+        t = room.triangle_count
+        rho0 = jnp.full((t,), 0.4)
+
+        def j(rho):
+            return jnp.sum(self._eb(scene, room, rho, 2, n_sources=16))
+
+        g = np.asarray(jax.grad(j)(rho0))
+        eps = 0.05
+        for i in (0, t // 2):
+            basis = jnp.zeros((t,)).at[i].set(1.0)
+            fd = (j(rho0 + eps * basis) - j(rho0 - eps * basis)) / (2 * eps)
+            np.testing.assert_allclose(g[i], float(fd), rtol=1e-3, atol=1e-7)
+
+    def test_lamp_gradient_matches_fd_two_bounce(self, room_scene):
+        room, scene = room_scene
+        rho = jnp.full((room.triangle_count,), 0.5)
+
+        def j(xz):
+            from uvtrace.diff import bounce_irradiance
+
+            return jnp.sum(
+                bounce_irradiance(
+                    scene, xz, room.floor_height + 0.8, 1.0, 450.0, rho,
+                    jnp.asarray(room.areas), jax.random.PRNGKey(3),
+                    n_samples=2, n_sources=16, n_bounces=2,
+                )
+            )
+
+        xz0 = jnp.array([0.1, -0.2])
+        g = np.asarray(jax.grad(j)(xz0))
+        for i in range(2):
+            e = jnp.zeros((2,)).at[i].set(1e-3)
+            fd = (j(xz0 + e) - j(xz0 - e)) / 2e-3
+            np.testing.assert_allclose(g[i], float(fd), rtol=5e-2, atol=1e-4)
+
+    def test_cross_validates_count_two_bounce_estimator(self):
+        """Total 2-bounce dose agrees between the count pipeline
+        (max_bounces=2: survive w.p. rho, cosine re-emit, two segments) and
+        the differentiable 2-term Neumann estimator on a closed box."""
+        room = make_box_room(subdivisions=3, clutter=0, seed=5)
+        rho = 0.5
+        p0 = SimParams(photon_count=1 << 18, max_iterations=2, seed=2)
+        direct = Simulator(room, p0, route=[LightPos(0.0, 0.0, 1.0)])
+        direct.compute()
+        p2 = dataclasses.replace(p0, max_bounces=2, reflectance=rho)
+        both = Simulator(room, p2, route=[LightPos(0.0, 0.0, 1.0)])
+        both.compute()
+        bounce_dose = np.asarray(both.dosage_map()) - np.asarray(direct.dosage_map())
+
+        from uvtrace.diff import bounce_irradiance
+
+        scene = make_diff_scene(room)
+        eb = bounce_irradiance(
+            scene, jnp.array([0.0, 0.0]), room.floor_height + 0.8, 1.0,
+            p0.light_intensity, jnp.full((room.triangle_count,), rho),
+            jnp.asarray(room.areas), jax.random.PRNGKey(4),
+            n_samples=8, n_sources=256, n_bounces=2,
+        )
+        diff_dose = 0.1 * np.asarray(eb)
+        a = np.asarray(room.areas)
+        np.testing.assert_allclose(
+            (bounce_dose * a).sum(), (diff_dose * a).sum(), rtol=0.15
+        )
+
+
+def test_optimize_route_reflectance_changes_result(room_scene):
+    """round-4 verdict #3: reflectance must REACH the optimizer — a
+    reflective room yields different gradients (and after a few steps,
+    different waypoints) than rho=0 from the same start."""
+    room, scene = room_scene
+    init_wp = np.array([[1.0, 1.5]], np.float32)
+    durs = np.array([60.0], np.float32)
+    kw = dict(steps=3, n_samples=2, optimize_durations=False, seed=0)
+    plain = optimize_route(
+        scene, init_wp, durs, room.floor_height + 0.8, 1.0, 450.0, **kw
+    )
+    refl = optimize_route(
+        scene, init_wp, durs, room.floor_height + 0.8, 1.0, 450.0,
+        reflectance=0.6, areas=np.asarray(room.areas), n_sources=16,
+        n_bounces=2, **kw
+    )
+    # the bounce term adds dose everywhere -> losses differ at step 0 already
+    assert refl.history[0] < plain.history[0]
+    assert not np.allclose(refl.waypoints_xz, plain.waypoints_xz)
+
+
 def test_route_dose_with_bounce_term(room_scene):
     """route_dose(reflectance=...) adds the differentiable one-bounce term;
     dose strictly increases everywhere dose was already positive."""

@@ -388,6 +388,17 @@ def cmd_optimize_route(args):
                 f"(use --no-bounds to optimize outside the AABB)",
                 file=sys.stderr,
             )
+    bounce_kw = {}
+    if params.reflectance > 0:
+        # --reflectance/--bounces reach the differentiable objective: the
+        # optimized route then accounts for interreflected dose the way the
+        # forward bounce simulator does (BASELINE configs 2+4 jointly)
+        bounce_kw = dict(
+            reflectance=params.reflectance,
+            areas=np.asarray(mesh.areas),
+            n_bounces=max(1, params.max_bounces),
+            n_sources=args.sources,
+        )
     res = optimize_route(
         scene,
         wp,
@@ -400,6 +411,7 @@ def cmd_optimize_route(args):
         n_samples=args.samples,
         bounds=bounds,
         progress=lambda i, l: print(f"step {i}: loss {l:.4f}", file=sys.stderr),
+        **bounce_kw,
     )
     out_route = Route(
         waypoints=[
@@ -547,6 +559,8 @@ def main(argv=None):
     po.add_argument("--steps", type=int, default=100)
     po.add_argument("--lr", type=float, default=0.05)
     po.add_argument("--samples", type=int, default=4)
+    po.add_argument("--sources", type=int, default=64,
+                    help="bounce-estimator source points (with --reflectance)")
     po.add_argument("--no-bounds", action="store_true",
                     help="allow waypoints outside the room footprint "
                          "(default: box-constrained to the scene AABB)")

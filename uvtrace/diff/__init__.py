@@ -1,5 +1,6 @@
 from uvtrace.diff.estimator import (
     DiffScene,
+    bounce_irradiance,
     irradiance,
     make_diff_scene,
     one_bounce_irradiance,

@@ -50,13 +50,30 @@ def optimize_route(
     bounds: Optional[tuple] = None,
     seed: int = 0,
     progress: Optional[Callable] = None,
+    reflectance=None,
+    areas=None,
+    n_sources: int = 64,
+    n_bounces: int = 1,
 ) -> RouteOptResult:
     """Maximize the (soft) minimum dose over target triangles.
 
     target_mask: optional bool[T] restricting the objective (e.g. exclude
       ceiling); default all triangles with nonzero area.
     bounds: optional ((xmin, zmin), (xmax, zmax)) box constraint on waypoints.
+    reflectance: optional f32[T] (or scalar) per-triangle UV reflectance —
+      the objective then includes the differentiable interreflection terms
+      (route_dose bounce estimator; requires `areas`=mesh.areas), so
+      optimized routes account for rho-and-higher transport the way the
+      forward bounce simulator does (BASELINE configs 2+4).
+    n_sources / n_bounces: bounce-estimator sampling/depth (see route_dose).
     """
+    if reflectance is not None:
+        if areas is None:
+            raise ValueError("optimize_route(reflectance=...) needs areas=mesh.areas")
+        reflectance = jnp.broadcast_to(
+            jnp.asarray(reflectance, jnp.float32), (scene.v0.shape[0],)
+        )
+        areas = jnp.asarray(areas)
     wp = jnp.asarray(init_waypoints_xz, jnp.float32)
     if bounds is not None:
         # the objective maps raw params through lo + (hi-lo)*sigmoid(wp), so
@@ -93,6 +110,10 @@ def optimize_route(
             power,
             key,  # common random numbers: fixed across steps
             n_samples=n_samples,
+            reflectance=reflectance,
+            areas=areas,
+            n_sources=n_sources,
+            n_bounces=n_bounces,
         )
         return -softmin(dose[mask], temperature)
 
@@ -125,7 +146,8 @@ def optimize_route(
         wp = lo + (hi - lo) * jax.nn.sigmoid(wp)
     final_dose = route_dose(
         scene, wp, durations_of(logits), rod_base_y, rod_length, power, key,
-        n_samples=n_samples,
+        n_samples=n_samples, reflectance=reflectance, areas=areas,
+        n_sources=n_sources, n_bounces=n_bounces,
     )
     return RouteOptResult(
         waypoints_xz=np.asarray(wp),
