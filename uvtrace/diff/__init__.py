@@ -6,4 +6,5 @@ from uvtrace.diff.estimator import (
     one_bounce_irradiance,
     route_dose,
 )
+from uvtrace.diff.image import ImagePlan, dose_image, plan_dose_image
 from uvtrace.diff.optimize import RouteOptResult, optimize_route

@@ -51,6 +51,10 @@ class DiffScene(NamedTuple):
     # occluder representation for shadow rays (clustered scene, any backend)
     trav_scene: object
     extend_fn: object
+    # hit-id space of extend_fn: None = original triangle ids (clustered);
+    # i32[slots] padded-slot -> tri map for the mxu backend. Visibility
+    # never needs it; the dose-image planner (diff/image.py) does.
+    slot_to_tri: object = None
 
 
 def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
@@ -106,7 +110,8 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
             return t[:r], slot[:r]
 
         return DiffScene(
-            v0=v0, e1=e1, e2=e2, normal=n, trav_scene=mxu_scene, extend_fn=extend
+            v0=v0, e1=e1, e2=e2, normal=n, trav_scene=mxu_scene,
+            extend_fn=extend, slot_to_tri=mxu_scene.tri_idx_flat,
         )
     from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
@@ -276,6 +281,29 @@ def bounce_irradiance(
     areas: f32[T] triangle areas (mesh.areas).
     """
     keys = jax.random.split(key, 4)
+    x_m, n_m, strength, w = _source_field(
+        scene, lamp_xz, rod_base_y, rod_length, power, reflectance, areas,
+        keys, n_samples=n_samples, n_sources=n_sources, n_bounces=n_bounces,
+    )
+
+    qs = _sample_triangle_points(scene, keys[3], n_samples)  # [S,T,3]
+    s, t = qs.shape[0], qs.shape[1]
+    acc = _receiver_transfer(
+        scene, qs.reshape(s * t, 3),
+        jnp.broadcast_to(scene.normal[None], (s, t, 3)).reshape(s * t, 3),
+        x_m, n_m, strength, source_chunk,
+    ).reshape(s, t)
+    return w * jnp.mean(acc, axis=0)  # [T]
+
+
+def _source_field(
+    scene, lamp_xz, rod_base_y, rod_length, power, reflectance, areas, keys,
+    *, n_samples, n_sources, n_bounces,
+):
+    """Sample the virtual-point-light field: area-weighted source points
+    x_m with normals, and per-source exitance strength rho_m * sum_k E_k(m)
+    after n_bounces-1 applications of the M x M Lambertian transfer matrix
+    (see bounce_irradiance docstring). Returns (x_m, n_m, strength, w)."""
     t_count = scene.v0.shape[0]
     areas = jnp.asarray(areas)
     probs = areas / jnp.sum(areas)
@@ -321,45 +349,48 @@ def bounce_irradiance(
         for _ in range(1, n_bounces):
             e_k = w * jnp.einsum("m,mn->n", rho_m * e_k, f_ss)  # E_{k}(m)
             e_sum = e_sum + e_k
+    return x_m, n_m, rho_m * e_sum, w
 
-    qs = _sample_triangle_points(scene, keys[3], n_samples)  # [S,T,3]
-    s, t = qs.shape[0], qs.shape[1]
-    # pad sources to whole chunks (weight 0 => no contribution)
+
+def _receiver_transfer(scene, pts, normals, x_m, n_m, strength, source_chunk):
+    """Chunked strength-weighted Lambertian transfer from the source field
+    to arbitrary receiver points pts f32[P,3] with unit normals f32[P,3]:
+    returns sum_m strength_m * F(x_m, p) as f32[P] (multiply by w outside).
+    lax.map over source chunks bounds peak memory at [chunk, P, 3]
+    independently of n_sources (round-4 advisor finding)."""
+    n_sources = x_m.shape[0]
+    p_count = pts.shape[0]
     chunk = max(1, min(source_chunk, n_sources))
     pad = (-n_sources) % chunk
-    strength = rho_m * e_sum  # rho * total incident irradiance, per source
-    if pad:
-        x_p = jnp.concatenate([x_m, jnp.broadcast_to(x_m[:1], (pad, 3))])
-        n_p = jnp.concatenate([n_m, jnp.broadcast_to(n_m[:1], (pad, 3))])
-        s_p = jnp.concatenate([strength, jnp.zeros((pad,))])
-    else:
-        x_p, n_p, s_p = x_m, n_m, strength
-    n_chunks = x_p.shape[0] // chunk
+    if pad:  # pad sources to whole chunks (weight 0 => no contribution)
+        x_m = jnp.concatenate([x_m, jnp.broadcast_to(x_m[:1], (pad, 3))])
+        n_m = jnp.concatenate([n_m, jnp.broadcast_to(n_m[:1], (pad, 3))])
+        strength = jnp.concatenate([strength, jnp.zeros((pad,))])
+    n_chunks = x_m.shape[0] // chunk
 
     def one_chunk(args):
         x_c, n_c, s_c = args  # [B,3],[B,3],[B]
-        d = qs[None] - x_c[:, None, None, :]  # [B,S,T,3]
+        d = pts[None] - x_c[:, None, :]  # [B,P,3]
         dist2 = jnp.sum(d * d, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-        cos_m = jnp.abs(jnp.sum(d * n_c[:, None, None, :], axis=-1)) / dist
-        cos_t = jnp.abs(jnp.sum(d * scene.normal[None, None], axis=-1)) / dist
+        cos_m = jnp.abs(jnp.sum(d * n_c[:, None, :], axis=-1)) / dist
+        cos_p = jnp.abs(jnp.sum(d * normals[None], axis=-1)) / dist
         vis = jax.lax.stop_gradient(
             _visibility(
                 scene,
                 x_c[:, None, :],  # [B,1,3]
-                jnp.broadcast_to(qs.reshape(1, s * t, 3), (chunk, s * t, 3)),
+                jnp.broadcast_to(pts[None], (chunk, p_count, 3)),
             )
-        ).reshape(chunk, s, t)
-        transfer = cos_m * cos_t / (np.pi * jnp.maximum(dist2, 1e-12)) * vis
-        return jnp.sum(s_c[:, None, None] * transfer, axis=0)  # [S,T]
+        )
+        transfer = cos_m * cos_p / (np.pi * jnp.maximum(dist2, 1e-12)) * vis
+        return jnp.sum(s_c[:, None] * transfer, axis=0)  # [P]
 
     chunks = (
-        x_p.reshape(n_chunks, chunk, 3),
-        n_p.reshape(n_chunks, chunk, 3),
-        s_p.reshape(n_chunks, chunk),
+        x_m.reshape(n_chunks, chunk, 3),
+        n_m.reshape(n_chunks, chunk, 3),
+        strength.reshape(n_chunks, chunk),
     )
-    acc = jnp.sum(jax.lax.map(one_chunk, chunks), axis=0)  # [S,T]
-    return w * jnp.mean(acc, axis=0)  # [T]
+    return jnp.sum(jax.lax.map(one_chunk, chunks), axis=0)  # [P]
 
 
 def one_bounce_irradiance(
