@@ -142,7 +142,14 @@ def _sample_triangle_points(scene: DiffScene, key, n_samples: int):
 def _visibility(scene: DiffScene, rod_points, qs, eps: float = 1e-3):
     """Binary visibility between rod points r[S,3]-broadcastable and surface
     points q[S,T,3]: 1.0 if the shadow ray reaches q before any other hit.
-    Non-differentiable by construction (used under stop_gradient)."""
+    Non-differentiable by construction: gradients are severed at the INPUTS
+    (not just the output) — endpoints entering a shadow ray contribute no
+    tangents, which is the documented piecewise-constant contract AND what
+    lets the traversal run on backends without JVP rules (the Pallas MXU
+    kernel; differentiating the clustered backend's jnp traversal was pure
+    wasted tangent compute)."""
+    rod_points = jax.lax.stop_gradient(rod_points)
+    qs = jax.lax.stop_gradient(qs)
     d = qs - rod_points
     dist = jnp.linalg.norm(d, axis=-1)
     direction = d / jnp.maximum(dist[..., None], 1e-20)
