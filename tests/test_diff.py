@@ -63,6 +63,27 @@ def test_mxu_visibility_backend_matches_clustered(room_scene):
     np.testing.assert_allclose(e_mxu, e_cl, rtol=2e-3, atol=1e-6)
 
 
+def test_grad_through_mxu_backend(room_scene):
+    """jax.grad works with the mxu visibility backend: gradients are severed
+    at _visibility's INPUTS, so the Pallas kernel (no JVP rule) is never
+    differentiated — the contract the TPU optimize-route path relies on.
+    Gradients agree with the clustered backend (same estimator, same CRN)."""
+    room, scene_cl = room_scene
+    scene_mxu = make_diff_scene(room, backend="mxu", precision="highest")
+    key = jax.random.PRNGKey(3)
+    base_y = room.floor_height + 0.8
+
+    def f(scene, xz):
+        return jnp.mean(irradiance(scene, xz, base_y, 1.0, 450.0, key,
+                                   n_samples=2))
+
+    x0 = jnp.array([0.2, -0.1])
+    g_mxu = np.asarray(jax.grad(lambda xz: f(scene_mxu, xz))(x0))
+    g_cl = np.asarray(jax.grad(lambda xz: f(scene_cl, xz))(x0))
+    assert np.isfinite(g_mxu).all()
+    np.testing.assert_allclose(g_mxu, g_cl, rtol=5e-3, atol=1e-7)
+
+
 def test_gradient_matches_finite_difference(room_scene):
     """AD gradient == central FD of the same CRN estimator (the documented
     contract: visibility held fixed, geometry differentiated)."""

