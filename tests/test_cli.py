@@ -227,6 +227,7 @@ def test_optimize_route_with_reflectance(tiny_glb, tmp_path, capsys):
         ["optimize-route", tiny_glb, "--route", str(route),
          "--reflectance", "0.4", "--bounces", "2",
          "--steps", "2", "--samples", "1", "--sources", "8",
+         "--shards", "2",  # shadow rays shard over the virtual mesh too
          "--output", str(out)]
     )
     cap = capsys.readouterr()

@@ -63,6 +63,29 @@ def test_mxu_visibility_backend_matches_clustered(room_scene):
     np.testing.assert_allclose(e_mxu, e_cl, rtol=2e-3, atol=1e-6)
 
 
+def test_sharded_visibility_bit_identical(room_scene):
+    """make_diff_scene(device_mesh=...) shards shadow rays over the ray
+    axis; visibility is per-ray deterministic, so irradiance AND its
+    gradients are bit-identical to the single-device scene."""
+    from uvtrace.parallel import make_ray_mesh
+
+    room, scene_single = room_scene
+    scene_sh = make_diff_scene(room, device_mesh=make_ray_mesh(8))
+    key = jax.random.PRNGKey(6)
+    base_y = room.floor_height + 0.8
+
+    def f(scene, xz):
+        return irradiance(scene, xz, base_y, 1.0, 450.0, key, n_samples=2)
+
+    x0 = jnp.array([0.25, -0.35])
+    np.testing.assert_array_equal(
+        np.asarray(f(scene_single, x0)), np.asarray(f(scene_sh, x0))
+    )
+    g1 = np.asarray(jax.grad(lambda xz: jnp.mean(f(scene_single, xz)))(x0))
+    g8 = np.asarray(jax.grad(lambda xz: jnp.mean(f(scene_sh, xz)))(x0))
+    np.testing.assert_array_equal(g1, g8)
+
+
 def test_grad_through_mxu_backend(room_scene):
     """jax.grad works with the mxu visibility backend: gradients are severed
     at _visibility's INPUTS, so the Pallas kernel (no JVP rule) is never

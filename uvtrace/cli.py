@@ -365,7 +365,15 @@ def cmd_optimize_route(args):
     with _translated("route XML", args.route):
         r = load_route_xml(args.route)
     params = _apply_param_flags(r.apply_to(SimParams()), args)
-    scene = make_diff_scene(mesh)
+    device_mesh = None
+    shards = getattr(args, "shards", 0) or 0
+    if shards:
+        # shadow rays shard over the mesh's ray axis exactly like compute
+        # launches (diff/estimator._shard_extend; bit-identical results)
+        from uvtrace.parallel import make_ray_mesh
+
+        device_mesh = make_ray_mesh(None if shards < 0 else shards)
+    scene = make_diff_scene(mesh, device_mesh=device_mesh)
     wp = np.array([[w.x, w.y] for w in r.waypoints], np.float32)
     durs = np.array([w.duration for w in r.waypoints], np.float32)
     lo, hi = mesh.aabb

@@ -58,7 +58,7 @@ class DiffScene(NamedTuple):
 
 
 def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
-                    precision: str = "high") -> DiffScene:
+                    precision: str = "high", device_mesh=None) -> DiffScene:
     """Build the differentiable scene; `backend` picks the shadow-ray
     traversal. Visibility is consumed under stop_gradient and only reads
     t_hit, so ANY backend is legal there — "auto" selects the MXU
@@ -66,7 +66,14 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
     packet culler; round-4 verdict weak #1: production optimize-route traces
     ~2.2M shadow rays per step, with the bounce term ~40x that) and the
     budget-free clustered path on CPU (the MXU kernel's interpret mode is
-    exact but slow — available as backend="mxu" for parity tests)."""
+    exact but slow — available as backend="mxu" for parity tests).
+
+    device_mesh: optional 1-D ('rays',) jax.sharding.Mesh — shadow-ray
+    batches then shard over the ray axis (shard_map + tiled all_gather of
+    the t results over ICI; scene replicated, a few MB), scaling
+    optimize-route / dose_image like every other launch. Results are
+    bit-identical to the single-device scene (visibility is deterministic
+    and per-ray)."""
     from uvtrace.ops.cluster import build_clusters
 
     tris = jnp.asarray(mesh.tris)
@@ -109,10 +116,11 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
             )
             return t[:r], slot[:r]
 
-        return DiffScene(
+        scene = DiffScene(
             v0=v0, e1=e1, e2=e2, normal=n, trav_scene=mxu_scene,
             extend_fn=extend, slot_to_tri=mxu_scene.tri_idx_flat,
         )
+        return _shard_extend(scene, device_mesh)
     from uvtrace.ops.traverse_clustered import cluster_arrays, traverse_clustered
 
     ca = cluster_arrays(cs)
@@ -123,7 +131,64 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
         # over-estimated dose AND wrong gradients). No budget: exact.
         max_clusters = cs.n_clusters
     extend = functools.partial(traverse_clustered, max_clusters=max_clusters)
-    return DiffScene(v0=v0, e1=e1, e2=e2, normal=n, trav_scene=ca, extend_fn=extend)
+    scene = DiffScene(v0=v0, e1=e1, e2=e2, normal=n, trav_scene=ca, extend_fn=extend)
+    return _shard_extend(scene, device_mesh)
+
+
+def _shard_extend(scene: DiffScene, device_mesh) -> DiffScene:
+    """Wrap the scene's extend_fn in a shard_map over the mesh's 'rays'
+    axis: each device traces its slice of the shadow-ray batch, a tiled
+    all_gather replicates the (t, hit) results (8 B/ray over ICI), so
+    callers see ordinary replicated arrays — eager slicing included. No-op
+    without a mesh."""
+    if device_mesh is None:
+        return scene
+    import math
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    # AUTO axis types: jax.make_mesh defaults to EXPLICIT sharding-in-types
+    # axes, whose avals escape the shard_map and break eager grad traces
+    # ("Length of device assignment 1 is not equal to the size of the
+    # mesh"); the plain Mesh constructor keeps the classic auto semantics
+    # this wrapper wants.
+    device_mesh = Mesh(device_mesh.devices, device_mesh.axis_names)
+    ndev = math.prod(device_mesh.devices.shape)
+    inner = scene.extend_fn
+
+    def fn(trav, o, d):
+        r = inner(trav, o, d)
+        t, h = r[0], r[1]
+        t = jax.lax.all_gather(t, "rays", tiled=True)
+        h = jax.lax.all_gather(h, "rays", tiled=True)
+        return t, h
+
+    # NOT wrapped in its own jax.jit: a nested jit over explicitly-sharded
+    # avals fails inside an outer grad trace ("enter your jit into a mesh
+    # context"); callers jit the whole objective anyway (optimize_route's
+    # value_and_grad), which compiles this shard_map along with it.
+    sharded = jax.shard_map(
+        fn,
+        mesh=device_mesh,
+        in_specs=(P(), P("rays"), P("rays")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    step = ndev * 1024  # whole packets per shard for every backend
+
+    def extend(trav, o, d):
+        r = o.shape[0]
+        pad = (-r) % step
+        if pad:  # park padding rays far outside the scene
+            o = jnp.concatenate([o, jnp.full((pad, 3), 1e6, o.dtype)])
+            d = jnp.concatenate(
+                [d,
+                 jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], d.dtype), (pad, 3))]
+            )
+        t, h = sharded(trav, o, d)
+        return t[:r], h[:r]
+
+    return scene._replace(extend_fn=extend)
 
 
 def _sample_triangle_points(scene: DiffScene, key, n_samples: int):
