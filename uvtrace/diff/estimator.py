@@ -99,6 +99,30 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
             # remapped: visibility reads ONLY t_hit (slot->tri would cost a
             # per-ray gather for nothing).
             r = orig.shape[0]
+            # Coherence sort (direction octant, quantized origin cell):
+            # shadow rays point from a handful of source points to samples
+            # spread over EVERY triangle, so an unsorted 1024-ray packet's
+            # frustum covers the whole scene — the same failure mode bounce
+            # segments hit (ops/bounce.coherence_sort). One variadic sort
+            # carries the ray fields + original index; a second sort on the
+            # index inverts the permutation (no per-ray gathers).
+            oct_ = (
+                (dirs[:, 0] >= 0).astype(jnp.int32) * 4
+                + (dirs[:, 1] >= 0).astype(jnp.int32) * 2
+                + (dirs[:, 2] >= 0).astype(jnp.int32)
+            )
+            cell = jnp.zeros_like(oct_)
+            for a in range(3):
+                cell = cell * 8 + (jnp.floor(orig[:, a]).astype(jnp.int32) & 7)
+            idx = jnp.arange(r, dtype=jnp.int32)
+            _, ox, oy, oz, dx, dy, dz, idx_s = jax.lax.sort(
+                (oct_ * 512 + cell,
+                 orig[:, 0], orig[:, 1], orig[:, 2],
+                 dirs[:, 0], dirs[:, 1], dirs[:, 2], idx),
+                dimension=0, num_keys=1,
+            )
+            orig = jnp.stack([ox, oy, oz], axis=-1)
+            dirs = jnp.stack([dx, dy, dz], axis=-1)
             pad = (-r) % 1024
             if pad:
                 orig = jnp.concatenate(
@@ -110,11 +134,18 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
                          jnp.array([0.0, 1.0, 0.0], jnp.float32), (pad, 3)
                      )]
                 )
+            # packet=1024 (not the bounce default 4096): sorted shadow rays
+            # are MORE coherent than bounce segments — the sources cluster
+            # around the lamp — and 1024 measured faster (0.367 vs 0.427
+            # s/step on the production optimize-route run)
             t, slot = traverse_mxu_slots(
                 scene_arrays, orig, dirs, precision=precision,
                 interpret=interp, hbm_tiles=hbm,
             )
-            return t[:r], slot[:r]
+            _, t, slot = jax.lax.sort(
+                (idx_s, t[:r], slot[:r]), dimension=0, num_keys=1
+            )
+            return t, slot
 
         scene = DiffScene(
             v0=v0, e1=e1, e2=e2, normal=n, trav_scene=mxu_scene,
