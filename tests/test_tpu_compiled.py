@@ -167,3 +167,36 @@ def test_hbm_tiles_compiled_matches_vmem(mxu_scene, rays):
         scene, jax.random.PRNGKey(7), lamp, 1.0, 1 << 14, hbm_tiles=True
     )
     np.testing.assert_array_equal(np.asarray(ca[2]), np.asarray(cb[2]))
+
+
+def test_diff_visibility_compiled_matches_clustered():
+    """Round-5: the diff layer's shadow rays ride the MXU kernel on TPU
+    (coherence-sorted, sort-inverted). Compiled-on-chip irradiance must
+    match the budget-free clustered backend — visibility is binary and the
+    t comparisons carry a 1e-3 tolerance, so estimates agree tightly."""
+    from uvtrace.diff import irradiance, make_diff_scene
+    from uvtrace.geometry.procedural import make_box_room
+
+    room = make_box_room(subdivisions=5, clutter=3, seed=2)
+    key = jax.random.PRNGKey(5)
+    args = (jnp.array([0.2, -0.3]), room.floor_height + 0.8, 1.0, 450.0, key)
+    e_mxu = np.asarray(
+        irradiance(make_diff_scene(room, backend="mxu", precision="highest"),
+                   *args, n_samples=4)
+    )
+    e_cl = np.asarray(
+        irradiance(make_diff_scene(room, backend="clustered"), *args,
+                   n_samples=4)
+    )
+    assert np.isfinite(e_mxu).all()
+    np.testing.assert_allclose(e_mxu, e_cl, rtol=2e-3, atol=1e-6)
+
+    # gradients flow on the compiled path (visibility inputs severed)
+    scene = make_diff_scene(room, backend="mxu", precision="highest")
+
+    def f(xz):
+        return jnp.mean(irradiance(scene, xz, room.floor_height + 0.8, 1.0,
+                                   450.0, key, n_samples=2))
+
+    g = np.asarray(jax.grad(f)(jnp.array([0.2, -0.3])))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
