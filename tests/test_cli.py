@@ -239,6 +239,35 @@ def test_optimize_route_with_reflectance(tiny_glb, tmp_path, capsys):
     assert len(opt.waypoints) == 2
 
 
+def test_dose_image_command(tiny_glb, tmp_path, capsys):
+    """`uvtrace dose-image`: the pixel-gradient deliverable as CLI
+    artifacts — image npy/png + gradient npz, finite and nonzero."""
+    from uvtrace.io.routexml import LightPos, Route, save_route_xml
+
+    route = tmp_path / "route.xml"
+    save_route_xml(
+        route,
+        Route(waypoints=[LightPos(0.2, 0.2, 30.0), LightPos(-0.3, 0.1, 30.0)]),
+    )
+    out = tmp_path / "gi"
+    rc = main(
+        ["dose-image", tiny_glb, "--route", str(route),
+         "--res", "16", "--samples", "2", "--output", str(out)]
+    )
+    cap = capsys.readouterr()
+    assert rc == 0
+    res = json.loads(cap.out.strip().splitlines()[-1])
+    assert res["dose_max"] > 0
+    img = np.load(out / "dose_image.npy")
+    assert img.shape == (16, 16) and np.isfinite(img).all()
+    assert (out / "dose_image.png").stat().st_size > 100
+    g = np.load(out / "gradients.npz")
+    gw = g["d_worstdose_d_waypoints"]
+    assert gw.shape == (2, 2) and np.isfinite(gw).all()
+    assert np.abs(gw).max() > 0
+    assert g["d_worstdose_d_durations"].shape == (2,)
+
+
 class TestFailFast:
     """CLI error translation: every bad input produces ONE actionable line on
     stderr and a nonzero exit — the reference's FatalError/CheckCL behavior

@@ -439,6 +439,82 @@ def cmd_optimize_route(args):
     return 0
 
 
+def cmd_dose_image(args):
+    """Differentiable dose image + gradients as artifacts (BASELINE
+    north-star "pixel gradients"): writes the res x res image, its PNG, and
+    the gradient of the worst-pixel objective (softmin over lit pixels)
+    w.r.t. every waypoint position and dwell time — "which way should each
+    lamp stop move to lift the darkest spot"."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvtrace.diff import dose_image, make_diff_scene, plan_dose_image
+    from uvtrace.diff.optimize import softmin
+    from uvtrace.io.export import export_grid_png
+    from uvtrace.io.routexml import load_route_xml
+    from uvtrace.sim import SimParams
+
+    if not args.route:
+        raise CLIError("dose-image needs --route (the image differentiates "
+                       "w.r.t. its waypoints)")
+    mesh = _load_mesh(args.scene)
+    with _translated("route XML", args.route):
+        r = load_route_xml(args.route)
+    params = _apply_param_flags(r.apply_to(SimParams()), args)
+    device_mesh = None
+    shards = getattr(args, "shards", 0) or 0
+    if shards:
+        from uvtrace.parallel import make_ray_mesh
+
+        device_mesh = make_ray_mesh(None if shards < 0 else shards)
+    scene = make_diff_scene(mesh, device_mesh=device_mesh)
+    plan = plan_dose_image(scene, res=args.res)
+    wp = jnp.asarray([[w.x, w.y] for w in r.waypoints], jnp.float32)
+    durs = jnp.asarray([w.duration for w in r.waypoints], jnp.float32)
+    key = jax.random.PRNGKey(params.seed)
+    kw = dict(n_samples=args.samples)
+    if params.reflectance > 0:
+        kw.update(
+            reflectance=params.reflectance, areas=jnp.asarray(mesh.areas),
+            n_bounces=max(1, params.max_bounces), n_sources=args.sources,
+        )
+
+    def image_of(wp, durs):
+        return dose_image(
+            scene, plan, wp, durs, mesh.floor_height + params.light_height,
+            params.light_length, params.light_intensity, key, **kw,
+        )
+
+    def worst_pixel(wp_durs):
+        img = image_of(*wp_durs).ravel()
+        lit = plan.mask & (img > 0)
+        # softmin over lit pixels only: misses park at a huge dose so their
+        # exp(-x/T) weight is exactly 0 (an inf would NaN the logsumexp)
+        return softmin(jnp.where(lit, img, 1e9), 5.0)
+
+    img = np.asarray(image_of(wp, durs))
+    (g_wp, g_durs) = jax.grad(worst_pixel)((wp, durs))
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "dose_image.npy", img)
+    export_grid_png(out / "dose_image.png", img, params.min_dosage,
+                    args.threshold_view, aabb=mesh.aabb,
+                    route=r.waypoints)
+    np.savez(out / "gradients.npz",
+             d_worstdose_d_waypoints=np.asarray(g_wp),
+             d_worstdose_d_durations=np.asarray(g_durs))
+    print(json.dumps({
+        "res": args.res,
+        "dose_max": float(img.max()),
+        "worst_lit_pixel": float(img[img > 0].min()) if (img > 0).any() else 0.0,
+        "waypoint_grad_norms": [round(float(n), 6) for n in
+                                np.linalg.norm(np.asarray(g_wp), axis=1)],
+        "output": str(out),
+    }))
+    return 0
+
+
 def cmd_render(args):
     import jax.numpy as jnp
     import numpy as np
@@ -574,6 +650,21 @@ def main(argv=None):
                          "(default: box-constrained to the scene AABB)")
     po.add_argument("--output", default="route_optimized.xml")
     po.set_defaults(fn=cmd_optimize_route)
+
+    pg = sub.add_parser(
+        "dose-image",
+        help="differentiable dose image + waypoint gradients (pixel-"
+             "gradient deliverable; diff/image.py)",
+    )
+    pg.add_argument("scene")
+    _add_param_flags(pg)
+    pg.add_argument("--res", type=int, default=128)
+    pg.add_argument("--samples", type=int, default=8)
+    pg.add_argument("--sources", type=int, default=64,
+                    help="bounce-estimator source points (with --reflectance)")
+    pg.add_argument("--threshold-view", action="store_true")
+    pg.add_argument("--output", default="out")
+    pg.set_defaults(fn=cmd_dose_image)
 
     pr = sub.add_parser("render", help="render a checkpointed dose map to PNG")
     pr.add_argument("scene")
