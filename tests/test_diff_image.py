@@ -116,6 +116,24 @@ def test_matches_forward_dose_grid(image_setup):
     np.testing.assert_allclose(img[both].mean(), fwd[both].mean(), rtol=0.10)
 
 
+def test_sharded_scene_image_bit_identical(image_setup):
+    """dose_image through a device-mesh scene (shadow rays sharded over the
+    ray axis) is bit-identical to the single-device image."""
+    from uvtrace.parallel import make_ray_mesh
+
+    room, scene, plan = image_setup
+    scene_sh = make_diff_scene(room, device_mesh=make_ray_mesh(8))
+    plan_sh = plan_dose_image(scene_sh, res=RES)
+    np.testing.assert_array_equal(np.asarray(plan.mask), np.asarray(plan_sh.mask))
+    args = (
+        jnp.array([[0.1, 0.2]]), jnp.array([45.0]),
+        room.floor_height + 0.8, 1.0, 450.0, jax.random.PRNGKey(3),
+    )
+    a = np.asarray(dose_image(scene, plan, *args, n_samples=2))
+    b = np.asarray(dose_image(scene_sh, plan_sh, *args, n_samples=2))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_image_bounce_term_adds_dose(image_setup):
     room, scene, plan = image_setup
     key = jax.random.PRNGKey(4)
