@@ -85,13 +85,16 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
     if backend == "auto":
         backend = "mxu" if jax.default_backend() == "tpu" else "clustered"
     if backend == "mxu":
-        from uvtrace.ops.traverse_mxu import K3, build_mxu_scene, traverse_mxu_slots
+        from uvtrace.ops.traverse_mxu import (
+            build_mxu_scene,
+            needs_hbm_tiles,
+            traverse_mxu_slots,
+        )
 
         mxu_scene = build_mxu_scene(cs)
         interp = jax.default_backend() != "tpu"
         # same VMEM-budget switch as the Simulator (sim/simulator.py)
-        padded = cs.n_clusters * cs.cluster_size
-        hbm = padded * 4 * K3 * 2 > (96 << 20)
+        hbm = needs_hbm_tiles(cs.n_clusters, cs.cluster_size)
 
         def extend(scene_arrays, orig, dirs):
             # the kernel consumes whole 1024-ray packets; shadow-ray batches

@@ -116,6 +116,16 @@ def _pack_rf3(rf10: jax.Array) -> jax.Array:
     return jnp.concatenate([hi, lo[:, 0:9], hi, pad], axis=1)
 
 
+def needs_hbm_tiles(n_clusters: int, cluster_size: int) -> bool:
+    """True when the scene's Plücker feature tiles exceed the ~96 MB VMEM
+    budget and must live in HBM with per-visit double-buffered DMA
+    (hbm_tiles mode). The footprint scales with PADDED slots
+    (clusters x cluster_size; measured cluster fill ~0.7), so decide AFTER
+    clustering. Single source of truth for the Simulator and the diff
+    layer."""
+    return n_clusters * cluster_size * 4 * K3 * 2 > (96 << 20)
+
+
 def build_mxu_scene(cs: ClusteredScene, group: int = 1) -> MxuScene:
     """Host-side: padded AABB planes + grouped Plücker feature tiles.
 

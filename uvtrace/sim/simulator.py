@@ -146,9 +146,9 @@ class Simulator:
                 self.clusters = build_clusters(mesh.tris, cluster_size=cluster_size)
             if backend in ("mxu", "mxu-fused"):
                 from uvtrace.ops.traverse_mxu import (
-                    K3,
                     build_mxu_scene,
                     fused_trace_counts,
+                    needs_hbm_tiles,
                     traverse_mxu_counts,
                     traverse_mxu_slots,
                 )
@@ -163,8 +163,9 @@ class Simulator:
                 # The footprint scales with PADDED SLOTS (clusters x C —
                 # measured cluster fill is ~0.7, i.e. ~1.4x the raw
                 # triangle count), so decide AFTER clustering.
-                padded = self.clusters.n_clusters * cluster_size
-                self._hbm_tiles = padded * 4 * K3 * 2 > (96 << 20)
+                self._hbm_tiles = needs_hbm_tiles(
+                    self.clusters.n_clusters, cluster_size
+                )
                 self.scene = build_mxu_scene(self.clusters)
                 # off-TPU (tests, CPU device meshes) the kernel runs in
                 # pallas interpret mode — same code path, exact semantics
