@@ -266,6 +266,16 @@ def test_dose_image_command(tiny_glb, tmp_path, capsys):
     assert gw.shape == (2, 2) and np.isfinite(gw).all()
     assert np.abs(gw).max() > 0
     assert g["d_worstdose_d_durations"].shape == (2,)
+    # reflectance reaches the image objective: bounce term adds dose
+    rc = main(
+        ["dose-image", tiny_glb, "--route", str(route),
+         "--reflectance", "0.5", "--bounces", "2", "--sources", "4",
+         "--res", "16", "--samples", "2", "--output", str(tmp_path / "gb")]
+    )
+    assert rc == 0
+    _ = capsys.readouterr()
+    img_b = np.load(tmp_path / "gb" / "dose_image.npy")
+    assert img_b.sum() > img.sum()
 
 
 class TestFailFast:
