@@ -228,11 +228,13 @@ def test_optimize_route_with_reflectance(tiny_glb, tmp_path, capsys):
          "--reflectance", "0.4", "--bounces", "2",
          "--steps", "2", "--samples", "1", "--sources", "8",
          "--shards", "2",  # shadow rays shard over the virtual mesh too
+         "--exclude-ceiling",
          "--output", str(out)]
     )
     cap = capsys.readouterr()
     assert rc == 0
     assert "clipped waypoint(s) 1" in cap.err  # waypoint 99.0 moved
+    assert "excluding" in cap.err and "ceiling-band" in cap.err
     res = json.loads(cap.out.strip().splitlines()[-1])
     assert np.isfinite(res["final_min_dose"])
     opt = load_route_xml(str(out))

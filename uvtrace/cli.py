@@ -396,6 +396,19 @@ def cmd_optimize_route(args):
                 f"(use --no-bounds to optimize outside the AABB)",
                 file=sys.stderr,
             )
+    target_mask = None
+    if args.exclude_ceiling:
+        # the ceiling is unreachable-by-design dose area (the lamp points
+        # sideways/down in practice); leaving it in the softmin objective
+        # lets permanently-dark roof triangles pin the min at ~0. Height
+        # band like dose_grid's skip_ceiling (documented caveat applies).
+        cy = np.asarray(mesh.tris)[:, :, 1].mean(axis=1)
+        target_mask = cy < float(hi[1]) - 0.05
+        print(
+            f"uvtrace: note: excluding {int((~target_mask).sum())} "
+            "ceiling-band triangles from the objective",
+            file=sys.stderr,
+        )
     bounce_kw = {}
     if params.reflectance > 0:
         # --reflectance/--bounces reach the differentiable objective: the
@@ -419,6 +432,7 @@ def cmd_optimize_route(args):
         n_samples=args.samples,
         bounds=bounds,
         progress=lambda i, l: print(f"step {i}: loss {l:.4f}", file=sys.stderr),
+        target_mask=target_mask,
         **bounce_kw,
     )
     out_route = Route(
@@ -645,6 +659,10 @@ def main(argv=None):
     po.add_argument("--samples", type=int, default=4)
     po.add_argument("--sources", type=int, default=64,
                     help="bounce-estimator source points (with --reflectance)")
+    po.add_argument("--exclude-ceiling", action="store_true",
+                    help="drop ceiling-band triangles from the min-dose "
+                         "objective (unreachable roof area otherwise pins "
+                         "the softmin near 0)")
     po.add_argument("--no-bounds", action="store_true",
                     help="allow waypoints outside the room footprint "
                          "(default: box-constrained to the scene AABB)")

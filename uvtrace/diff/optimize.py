@@ -86,11 +86,12 @@ def optimize_route(
     total_time = float(np.sum(init_durations))
     # durations through a softmax -> fixed total time budget
     logits = jnp.log(jnp.asarray(init_durations, jnp.float32) / total_time)
-    mask = (
-        jnp.asarray(target_mask)
-        if target_mask is not None
-        else jnp.ones((scene.v0.shape[0],), bool)
-    )
+    if target_mask is not None:
+        mask = jnp.asarray(target_mask)
+    else:
+        # default: every non-degenerate triangle (zero-area pads carry no
+        # dose and would pin the softmin at 0 forever)
+        mask = jnp.linalg.norm(jnp.cross(scene.e1, scene.e2), axis=-1) > 0
     key = jax.random.PRNGKey(seed)
 
     def durations_of(logits):
