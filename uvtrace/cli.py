@@ -449,7 +449,16 @@ def cmd_optimize_route(args):
         light_height=params.light_height,
     )
     save_route_xml(args.output, out_route)
-    print(json.dumps({"final_min_dose": res.final_min_dose, "output": args.output}))
+    d = res.final_dose_masked
+    print(json.dumps({
+        "final_min_dose": res.final_min_dose,
+        # real scans contain unreachable triangles (inside furniture) that
+        # pin the raw min at 0 — percentiles/coverage carry the progress
+        "final_p05_dose": float(np.percentile(d, 5)),
+        "final_median_dose": float(np.median(d)),
+        "coverage_above_min": float((d >= params.min_dosage).mean()),
+        "output": args.output,
+    }))
     return 0
 
 

@@ -31,6 +31,10 @@ class RouteOptResult:
     durations: np.ndarray
     history: list
     final_min_dose: float
+    # full estimator dose over the target mask (diagnostics: real scans have
+    # genuinely unreachable triangles — inside furniture, scan artifacts —
+    # that pin the raw min at 0, so percentiles/coverage carry the signal)
+    final_dose_masked: np.ndarray = None
 
 
 def optimize_route(
@@ -155,4 +159,5 @@ def optimize_route(
         durations=np.asarray(durations_of(logits)),
         history=history,
         final_min_dose=float(jnp.min(final_dose[mask])),
+        final_dose_masked=np.asarray(final_dose[mask]),
     )
