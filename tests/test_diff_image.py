@@ -114,6 +114,12 @@ def test_matches_forward_dose_grid(image_setup):
     both = (fwd > 0) & (img > 0)
     assert both.mean() > 0.9
     np.testing.assert_allclose(img[both].mean(), fwd[both].mean(), rtol=0.10)
+    # per-pixel: point dose vs triangle-average dose differ by
+    # within-triangle variation + count-MC noise (measured corr ~0.87 at
+    # this tessellation/photon budget), but the spatial pattern must be
+    # the same image — a mis-registered or mis-normalized image decorrelates
+    corr = np.corrcoef(img[both], fwd[both])[0, 1]
+    assert corr > 0.8, corr
 
 
 def test_sharded_scene_image_bit_identical(image_setup):

@@ -41,12 +41,16 @@ class Simulator:
     """Owns the device-resident scene + dose state and drives the pipeline.
 
     Traversal backends (params.traversal):
-      - "clustered" (default, CPU+TPU): two-phase packet culling
-        (ops/traverse_clustered.py) over SAH clusters;
+      - "auto" (default): "mxu-fused" on TPU, "clustered" on CPU;
+      - "mxu-fused": generate+trace+histogram in ONE Pallas kernel (the TPU
+        production path; big scenes auto-switch to HBM-resident feature
+        tiles — needs_hbm_tiles);
+      - "mxu": the same MXU cluster-intersection kernel, split stages;
+      - "clustered": two-phase packet culling (ops/traverse_clustered.py)
+        over SAH clusters, budget-audited (escalate-and-retry on overflow);
+      - "pallas": gen-1 packet-DFS kernel;
       - "jax": per-ray masked BVH walk over the fine SAH tree (oracle-grade,
-        slow) — also what `bvh=` forces;
-      - "pallas": hand-written TPU kernel (falls back to clustered if
-        unavailable).
+        slow) — also what `bvh=` forces.
     """
 
     def __init__(
