@@ -53,7 +53,8 @@ KBATCH = 8  # candidates extracted per vector->scalar crossing. Sweep
 #   (r4, fused direct, honest fencing): 8 -> 41.08, 16 -> 40.28, 32 -> 37.02
 #   Mrays/s (coherent packets average ~10 candidates, so 8 covers most in
 #   one batch with half the wasted extraction mins); bounce end-to-end is
-#   neutral (8.12 vs 8.08).
+#   neutral (8.12 vs 8.08). r5: 4 -> 40.76 vs 8 -> 40.48 same-day — parity
+#   within tunnel noise, sweep closed at 8.
 
 
 class MxuScene(NamedTuple):
