@@ -118,6 +118,18 @@ def _add_param_flags(p):
                    metavar="N", help="texel atlas budget (default 2^22)")
 
 
+def _ray_mesh_from_args(args):
+    """--shards N -> a 1-D ('rays',) device mesh; N < 0 = all visible
+    devices; 0/absent = None (single device). Single source of truth for
+    the shard-count convention across compute/optimize-route/dose-image."""
+    shards = getattr(args, "shards", 0) or 0
+    if not shards:
+        return None
+    from uvtrace.parallel import make_ray_mesh
+
+    return make_ray_mesh(None if shards < 0 else shards)
+
+
 def _build_sim(args):
     import numpy as np
 
@@ -150,10 +162,8 @@ def _build_sim(args):
         device_mesh = make_2d_mesh(
             ray_shards=total // tex_shards, texel_shards=tex_shards
         )
-    elif shards:
-        from uvtrace.parallel import make_ray_mesh
-
-        device_mesh = make_ray_mesh(None if shards < 0 else shards)
+    else:
+        device_mesh = _ray_mesh_from_args(args)
     try:
         sim = Simulator(mesh, params, route=route, device_mesh=device_mesh)
     except ValueError as e:  # bad flag combination (e.g. texel axis w/o atlas)
@@ -365,15 +375,9 @@ def cmd_optimize_route(args):
     with _translated("route XML", args.route):
         r = load_route_xml(args.route)
     params = _apply_param_flags(r.apply_to(SimParams()), args)
-    device_mesh = None
-    shards = getattr(args, "shards", 0) or 0
-    if shards:
-        # shadow rays shard over the mesh's ray axis exactly like compute
-        # launches (diff/estimator._shard_extend; bit-identical results)
-        from uvtrace.parallel import make_ray_mesh
-
-        device_mesh = make_ray_mesh(None if shards < 0 else shards)
-    scene = make_diff_scene(mesh, device_mesh=device_mesh)
+    # shadow rays shard over the mesh's ray axis exactly like compute
+    # launches (diff/estimator._shard_extend; bit-identical results)
+    scene = make_diff_scene(mesh, device_mesh=_ray_mesh_from_args(args))
     wp = np.array([[w.x, w.y] for w in r.waypoints], np.float32)
     durs = np.array([w.duration for w in r.waypoints], np.float32)
     lo, hi = mesh.aabb
@@ -401,19 +405,43 @@ def cmd_optimize_route(args):
         # the ceiling is unreachable-by-design dose area (the lamp points
         # sideways/down in practice); leaving it in the softmin objective
         # lets permanently-dark roof triangles pin the min at ~0. Height
-        # band like dose_grid's skip_ceiling (documented caveat applies).
+        # band like dose_grid's skip_ceiling (documented caveat applies),
+        # including its flat-scene guard: a roofless scan where the band
+        # would swallow every triangle (empty objective -> -inf loss and a
+        # zero-size reduction at the end) keeps the full mask instead.
+        margin = 0.05
         cy = np.asarray(mesh.tris)[:, :, 1].mean(axis=1)
-        target_mask = cy < float(hi[1]) - 0.05
-        print(
-            f"uvtrace: note: excluding {int((~target_mask).sum())} "
-            "ceiling-band triangles from the objective",
-            file=sys.stderr,
-        )
+        if float(hi[1] - lo[1]) <= 10 * margin:
+            print("uvtrace: note: --exclude-ceiling skipped (flat scene — "
+                  "no roof band to exclude)", file=sys.stderr)
+        else:
+            target_mask = cy < float(hi[1]) - margin
+            if not target_mask.any():
+                raise CLIError(
+                    "--exclude-ceiling would exclude every triangle — "
+                    "the scene appears to be a single horizontal band"
+                )
+            print(
+                f"uvtrace: note: excluding {int((~target_mask).sum())} "
+                "ceiling-band triangles from the objective",
+                file=sys.stderr,
+            )
     bounce_kw = {}
     if params.reflectance > 0:
         # --reflectance/--bounces reach the differentiable objective: the
         # optimized route then accounts for interreflected dose the way the
         # forward bounce simulator does (BASELINE configs 2+4 jointly)
+        if params.max_bounces < 1:
+            # a forward `compute --reflectance X` without --bounces traces
+            # ZERO bounce segments; silently flooring to 1 here would make
+            # the optimized objective claim dose the forward run cannot
+            # reproduce — say so
+            print(
+                "uvtrace: note: --reflectance without --bounces optimizes "
+                "a 1-bounce objective; pass --bounces N (and use the same "
+                "flags in `compute`) to match a forward bounce run",
+                file=sys.stderr,
+            )
         bounce_kw = dict(
             reflectance=params.reflectance,
             areas=np.asarray(mesh.areas),
@@ -485,19 +513,20 @@ def cmd_dose_image(args):
     with _translated("route XML", args.route):
         r = load_route_xml(args.route)
     params = _apply_param_flags(r.apply_to(SimParams()), args)
-    device_mesh = None
-    shards = getattr(args, "shards", 0) or 0
-    if shards:
-        from uvtrace.parallel import make_ray_mesh
-
-        device_mesh = make_ray_mesh(None if shards < 0 else shards)
-    scene = make_diff_scene(mesh, device_mesh=device_mesh)
+    scene = make_diff_scene(mesh, device_mesh=_ray_mesh_from_args(args))
     plan = plan_dose_image(scene, res=args.res)
     wp = jnp.asarray([[w.x, w.y] for w in r.waypoints], jnp.float32)
     durs = jnp.asarray([w.duration for w in r.waypoints], jnp.float32)
     key = jax.random.PRNGKey(params.seed)
     kw = dict(n_samples=args.samples)
     if params.reflectance > 0:
+        if params.max_bounces < 1:
+            print(
+                "uvtrace: note: --reflectance without --bounces renders a "
+                "1-bounce image; pass --bounces N to match a forward "
+                "bounce run",
+                file=sys.stderr,
+            )
         kw.update(
             reflectance=params.reflectance, areas=jnp.asarray(mesh.areas),
             n_bounces=max(1, params.max_bounces), n_sources=args.sources,

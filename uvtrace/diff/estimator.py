@@ -106,26 +106,15 @@ def make_diff_scene(mesh, max_clusters=None, backend: str = "auto",
             # shadow rays point from a handful of source points to samples
             # spread over EVERY triangle, so an unsorted 1024-ray packet's
             # frustum covers the whole scene — the same failure mode bounce
-            # segments hit (ops/bounce.coherence_sort). One variadic sort
-            # carries the ray fields + original index; a second sort on the
-            # index inverts the permutation (no per-ray gathers).
-            oct_ = (
-                (dirs[:, 0] >= 0).astype(jnp.int32) * 4
-                + (dirs[:, 1] >= 0).astype(jnp.int32) * 2
-                + (dirs[:, 2] >= 0).astype(jnp.int32)
-            )
-            cell = jnp.zeros_like(oct_)
-            for a in range(3):
-                cell = cell * 8 + (jnp.floor(orig[:, a]).astype(jnp.int32) & 7)
+            # segments hit. The SAME ops/bounce.coherence_sort does the
+            # sorting (index= carries the original position; a second sort
+            # on it below inverts the permutation, no per-ray gathers).
+            from uvtrace.ops.bounce import coherence_sort
+
             idx = jnp.arange(r, dtype=jnp.int32)
-            _, ox, oy, oz, dx, dy, dz, idx_s = jax.lax.sort(
-                (oct_ * 512 + cell,
-                 orig[:, 0], orig[:, 1], orig[:, 2],
-                 dirs[:, 0], dirs[:, 1], dirs[:, 2], idx),
-                dimension=0, num_keys=1,
+            orig, dirs, _, idx_s = coherence_sort(
+                orig, dirs, jnp.ones((r,), bool), index=idx
             )
-            orig = jnp.stack([ox, oy, oz], axis=-1)
-            dirs = jnp.stack([dx, dy, dz], axis=-1)
             pad = (-r) % 1024
             if pad:
                 orig = jnp.concatenate(

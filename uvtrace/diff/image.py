@@ -57,39 +57,26 @@ def plan_dose_image(
     ceiling_margin: float = 0.05,
 ) -> ImagePlan:
     """Cast the res x res top-down probe grid once and record each pixel's
-    surface point + normal. Mirrors Simulator.dose_grid's probe layout
-    (cell centers over the xz footprint, downward rays from above the
-    scene, ceiling-band re-cast — see sim/simulator.py dose_grid and its
-    documented height-band caveat)."""
+    surface point + normal. Probe layout and ceiling-band re-cast are the
+    SAME code Simulator.dose_grid runs (ops/probes.py — the forward/diff
+    image comparison tests assume identical probe geometry; the height-band
+    caveat is documented there)."""
+    from uvtrace.ops.probes import first_hits_skip_ceiling, probe_rays
+
     verts = jnp.concatenate(
         [scene.v0, scene.v0 + scene.e1, scene.v0 + scene.e2], axis=0
     )
     lo = np.asarray(jnp.min(verts, axis=0))
     hi = np.asarray(jnp.max(verts, axis=0))
-    n = res * res
-    idx = jnp.arange(res, dtype=jnp.float32) + 0.5
-    xs = lo[0] + idx * ((hi[0] - lo[0]) / res)
-    zs = lo[2] + idx * ((hi[2] - lo[2]) / res)
-    gx, gz = jnp.meshgrid(xs, zs, indexing="xy")
-    orig = jnp.stack(
-        [gx.ravel(), jnp.full((n,), hi[1] + 0.1, jnp.float32), gz.ravel()],
-        axis=-1,
-    )
-    direction = jnp.broadcast_to(jnp.array([0.0, -1.0, 0.0], jnp.float32), (n, 3))
+    orig, direction = probe_rays(lo, hi, res)
 
-    t_hit, hit = scene.extend_fn(scene.trav_scene, orig, direction)[:2]
-    if skip_ceiling and (hi[1] - lo[1]) > 10 * ceiling_margin:
-        p_y = orig[:, 1] - t_hit  # direction is (0,-1,0)
-        near_top = (hit >= 0) & (p_y > hi[1] - ceiling_margin)
-        orig2 = jnp.where(
-            near_top[:, None],
-            orig.at[:, 1].set(p_y - 1e-3),
-            jnp.full_like(orig, 1e6),
-        )
-        t2, hit2 = scene.extend_fn(scene.trav_scene, orig2, direction)[:2]
-        use2 = near_top & (hit2 >= 0)
-        t_hit = jnp.where(use2, (orig[:, 1] - orig2[:, 1]) + t2, t_hit)
-        hit = jnp.where(near_top, jnp.where(use2, hit2, -1), hit)
+    def extend2(o, d):
+        return scene.extend_fn(scene.trav_scene, o, d)[:2]
+
+    t_hit, hit = first_hits_skip_ceiling(
+        extend2, orig, direction, float(lo[1]), float(hi[1]),
+        skip_ceiling=skip_ceiling, ceiling_margin=ceiling_margin,
+    )
     if scene.slot_to_tri is not None:  # mxu backend: padded slots -> tri ids
         hit = jnp.where(hit >= 0, scene.slot_to_tri[jnp.maximum(hit, 0)], -1)
     mask = hit >= 0

@@ -84,7 +84,8 @@ def bounce_rays(key, orig, direction, t_hit, hit_ids, normals, reflectance, aliv
     return new_orig, new_dir, new_alive
 
 
-def coherence_sort(orig, direction, alive, cell_meters: float = 1.0):
+def coherence_sort(orig, direction, alive, cell_meters: float = 1.0,
+                   index=None):
     """Re-pack bounce rays into packet-coherent order.
 
     Bounced photons scatter over the whole room in all directions; a
@@ -96,6 +97,10 @@ def coherence_sort(orig, direction, alive, cell_meters: float = 1.0):
 
     Dead lanes sort to the end (key max), forming all-dead packets whose
     parked rays cull instantly.
+
+    index: optional i32[N] carried through the sort and returned as a 4th
+    output — callers that must UNDO the permutation (the diff layer's
+    shadow rays, uvtrace/diff/estimator.py) sort their results back on it.
     """
     oct_ = (
         (direction[:, 0] >= 0).astype(jnp.int32) * 4
@@ -108,14 +113,17 @@ def coherence_sort(orig, direction, alive, cell_meters: float = 1.0):
             jnp.floor(orig[:, a] / cell_meters).astype(jnp.int32) & 7
         )
     key = jnp.where(alive, oct_ * 512 + cell, jnp.int32(1 << 30))
-    key, ox, oy, oz, dx, dy, dz, alive = jax.lax.sort(
-        (key, orig[:, 0], orig[:, 1], orig[:, 2],
-         direction[:, 0], direction[:, 1], direction[:, 2], alive),
-        dimension=0,
-        num_keys=1,
-    )
-    return (
+    operands = (key, orig[:, 0], orig[:, 1], orig[:, 2],
+                direction[:, 0], direction[:, 1], direction[:, 2], alive)
+    if index is not None:
+        operands = operands + (index,)
+    out = jax.lax.sort(operands, dimension=0, num_keys=1)
+    _, ox, oy, oz, dx, dy, dz, alive = out[:8]
+    result = (
         jnp.stack([ox, oy, oz], axis=-1),
         jnp.stack([dx, dy, dz], axis=-1),
         alive,
     )
+    if index is not None:
+        return result + (out[8],)
+    return result

@@ -582,7 +582,9 @@ def traverse_mxu_counts(
     while r % packet and packet > PACKET:
         packet //= 2  # e.g. r=6144 with packet=4096 -> 2048 (bounce default
         #   is 4096; ray counts are always multiples of 1024)
-    assert r % packet == 0, (r, packet)
+    # lane alignment (see fused_trace_counts): fail on every platform, not
+    # just at Mosaic compile time
+    assert packet % 128 == 0 and r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
@@ -624,7 +626,9 @@ def traverse_mxu_slots(
     while r % packet and packet > PACKET:
         packet //= 2  # e.g. r=6144 with packet=4096 -> 2048 (bounce default
         #   is 4096; ray counts are always multiples of 1024)
-    assert r % packet == 0, (r, packet)
+    # lane alignment (see fused_trace_counts): fail on every platform, not
+    # just at Mosaic compile time
+    assert packet % 128 == 0 and r % packet == 0, (r, packet)
     o3 = orig.reshape(r // packet, packet, 3)
     d3 = direction.reshape(r // packet, packet, 3)
     return _traverse_mxu_padded(
@@ -833,7 +837,11 @@ def fused_trace_counts(
     packet = min(packet, n)  # small launches fall back to one whole packet
     while n % packet and packet > PACKET:
         packet //= 2
-    assert n % packet == 0, (n, packet)
+    # lane alignment: a non-multiple-of-128 packet would instantiate VMEM
+    # blocks the TPU cannot tile — interpret mode (the CPU test lane) would
+    # accept it while Mosaic fails, breaking the interpret==compiled
+    # parity contract. Fail loudly on EVERY platform instead.
+    assert packet % 128 == 0 and n % packet == 0, (n, packet)
     g_total = n // packet
     grid_dims = _stratum_grid(g_total, height_bands=height_bands)
     prec = {

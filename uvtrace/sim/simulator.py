@@ -600,7 +600,8 @@ class Simulator:
         or set skip_ceiling=False for the raw first-hit image in such
         scenes. (A normal-based classifier cannot disambiguate here: glTF
         scan meshes carry arbitrary winding, and a ceiling's geometric
-        normal is as often up as down.)
+        normal is as often up as down.) Probe layout + re-cast shared with
+        the differentiable image planner: ops/probes.py.
 
         When a texel atlas exists each probe samples its TEXEL's dose
         (barycentrics -> atlas slot), not the triangle average — a 4K grid
@@ -617,6 +618,8 @@ class Simulator:
         # host-side version uploaded/downloaded ~30 B/probe — ~500 MB at 4K
         # through the remote-chip tunnel, measured 126 s; device-side the 4K
         # grid is seconds.)
+        from uvtrace.ops.probes import first_hits_skip_ceiling, probe_rays
+
         verts = np.asarray(self.mesh.tris).reshape(-1, 3)
         lo, hi = verts.min(axis=0), verts.max(axis=0)
         n = res * res
@@ -629,23 +632,8 @@ class Simulator:
         if texels and self.atlas is None:
             raise ValueError("dose_grid(texels=True) needs params.texel_density > 0")
 
-        # probe CELL CENTERS, not corners: corner probes land exactly on
-        # the scene AABB boundary and on quad diagonals (shared-edge t-ties
-        # whose winner is tie-break-order dependent); centers are also the
-        # correct image-sampling convention
-        idx = jnp.arange(res, dtype=jnp.float32) + 0.5
-        xs = lo[0] + idx * ((hi[0] - lo[0]) / res)
-        zs = lo[2] + idx * ((hi[2] - lo[2]) / res)
-        gx, gz = jnp.meshgrid(xs, zs, indexing="xy")
-        orig = jnp.stack(
-            [gx.ravel(), jnp.full((n,), hi[1] + 0.1, jnp.float32), gz.ravel()],
-            axis=-1,
-        )
-        if pad:
-            orig = jnp.concatenate([orig, jnp.full((pad, 3), 1e6, jnp.float32)])
-        direction = jnp.broadcast_to(
-            jnp.array([0.0, -1.0, 0.0], jnp.float32), (n + pad, 3)
-        )
+        orig, direction = probe_rays(lo, hi, res, pad=pad)
+
         def extend_replicated(o, d):
             r = self._extend_probes(o, d)
             th, h = r[0], r[1]
@@ -659,24 +647,10 @@ class Simulator:
                 h = jax.device_put(h, rep)
             return th, h
 
-        t_hit, hit = extend_replicated(orig, direction)
-        # degenerate flat scenes (a bare floor): the top IS the target
-        if hi[1] - lo[1] <= 10 * ceiling_margin:
-            skip_ceiling = False
-        if skip_ceiling:
-            # re-cast probes that hit within ceiling_margin of the scene top
-            # from just below their hit point; others park outside
-            p_y = orig[:, 1] - t_hit  # direction is (0,-1,0)
-            near_top = (hit >= 0) & (p_y > hi[1] - ceiling_margin)
-            orig2 = jnp.where(
-                near_top[:, None],
-                orig.at[:, 1].set(p_y - 1e-3),
-                jnp.full_like(orig, 1e6),
-            )
-            t2, hit2 = extend_replicated(orig2, direction)
-            use2 = near_top & (hit2 >= 0)
-            t_hit = jnp.where(use2, (orig[:, 1] - orig2[:, 1]) + t2, t_hit)
-            hit = jnp.where(near_top, jnp.where(use2, hit2, -1), hit)
+        t_hit, hit = first_hits_skip_ceiling(
+            extend_replicated, orig, direction, float(lo[1]), float(hi[1]),
+            skip_ceiling=skip_ceiling, ceiling_margin=ceiling_margin,
+        )
         t_hit, hit = t_hit[:n], hit[:n]
         if self._slot_map is not None:
             hit = jnp.where(hit >= 0, self._slot_map[jnp.maximum(hit, 0)], -1)
