@@ -180,3 +180,23 @@ def test_reflectance_pixel_gradient(image_setup):
     g = float(jax.grad(f)(jnp.float32(0.4)))
     fd = (float(f(jnp.float32(0.45))) - float(f(jnp.float32(0.35)))) / 0.1
     np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+
+def test_plan_on_flat_scene():
+    """A roofless floor: the shared probe helper auto-disables the ceiling
+    skip (ops/probes.py) and every probe lands on the floor — the image
+    differentiates normally."""
+    from uvtrace.geometry.procedural import make_single_square
+
+    floor = make_single_square(center=(0.0, 0.0, 0.0), half_width=2.0, axis="y")
+    scene = make_diff_scene(floor)
+    plan = plan_dose_image(scene, res=8)
+    assert bool(np.asarray(plan.mask).all())
+    img = dose_image(
+        scene, plan, jnp.array([[0.0, 0.0]]), jnp.array([60.0]), 0.5, 1.0,
+        450.0, jax.random.PRNGKey(0), n_samples=4,
+    )
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and (img > 0).all()
+    # inverse-square: directly under the lamp beats the corners
+    assert img[4, 4] > img[0, 0]
